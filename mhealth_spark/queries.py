@@ -1,0 +1,638 @@
+"""Driver-facing query registry: every implemented operator from SURVEY §2
+exposed as a (Spark callable, DuckDB oracle SQL) pair over the shared
+testdata tables.
+
+Conventions for hash-stable parity with the DuckDB oracle:
+
+- every computed column is aliased identically on both sides;
+- timestamps are emitted as formatted strings (`yyyy-MM-dd HH:mm:ss`) so
+  tz-naive/aware repr differences can't break value hashing;
+- floating aggregates are rounded to a fixed precision on both sides
+  (summation order differs between engines at the ~1e-12 level).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from mhealth_spark import aggregates as agg
+from mhealth_spark import asof, buckets, intervals
+from mhealth_spark.source import read_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, "events", sf_dir)
+
+
+def _fmt(col, alias):
+    return F.date_format(col, TS_FMT_SPARK).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: two-level agg — hourly median per user → daily stats (R1 + A1)
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_hourly_daily_stats",
+    f"""
+    WITH hourly AS (
+        SELECT user_id,
+               date_trunc('day', ts)  AS d,
+               date_trunc('hour', ts) AS h,
+               median(value)          AS m
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           strftime(d, '{TS_FMT_DUCK}')      AS day,
+           round(avg(m), 6)                  AS mean_v,
+           round(stddev_samp(m), 6)          AS std_v,
+           round(min(m), 6)                  AS min_v,
+           round(max(m), 6)                  AS max_v,
+           count(m)                          AS count_v,
+           round(median(m), 6)               AS median_v
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def flagship_hourly_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("DAY", "ts").alias("d"),
+            F.date_trunc("HOUR", "ts").alias("h"),
+        )
+        .agg(F.median("value").alias("m"))
+    )
+    return hourly.groupBy("user_id", _fmt(F.col("d"), "day")).agg(
+        F.round(F.mean("m"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("m"), 6).alias("std_v"),
+        F.round(F.min("m"), 6).alias("min_v"),
+        F.round(F.max("m"), 6).alias("max_v"),
+        F.count("m").alias("count_v"),
+        F.round(F.median("m"), 6).alias("median_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F5/F10 — type filter + range predicate + projection
+# ---------------------------------------------------------------------------
+@register(
+    "f1_filter_project",
+    f"""
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           round(value, 6) AS value
+    FROM events
+    WHERE event_type = 'view' AND value BETWEEN 50 AND 150
+    """,
+)
+def f1_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .filter((F.col("event_type") == "view") & F.col("value").between(50, 150))
+        .select(
+            "event_id",
+            "user_id",
+            _fmt(F.col("ts"), "ts_s"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — daily tumbling aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "r4_daily_bins",
+    f"""
+    SELECT user_id, strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS day,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def r4_daily_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", _fmt(F.date_trunc("DAY", "ts"), "day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5 — anchored (3pm→3pm) day buckets
+# ---------------------------------------------------------------------------
+@register(
+    "r5_anchored_bins",
+    f"""
+    SELECT user_id,
+           strftime(date_trunc('day', ts - INTERVAL 15 HOURS)
+                    + INTERVAL 15 HOURS, '{TS_FMT_DUCK}') AS noon_day,
+           count(*) AS n, round(avg(value), 6) AS mean_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def r5_anchored_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = buckets.anchored_day_bucket("ts", anchor_hour=15)
+    return ev.groupBy("user_id", _fmt(bucket, "noon_day")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — full stat block with bias-corrected skew/kurtosis
+# ---------------------------------------------------------------------------
+@register(
+    "a1_stats_corrected",
+    """
+    SELECT user_id, event_type,
+           round(avg(value), 6)         AS mean_v,
+           round(stddev_samp(value), 6) AS std_v,
+           round(min(value), 6)         AS min_v,
+           round(max(value), 6)         AS max_v,
+           count(value)                 AS count_v,
+           round(median(value), 6)      AS median_v,
+           round(skewness(value), 6)    AS skew_v,
+           round(kurtosis(value), 6)    AS kurt_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a1_stats_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("value")
+    n = F.count(c)
+    return _events(spark, sf_dir).groupBy("user_id", "event_type").agg(
+        F.round(F.mean(c), 6).alias("mean_v"),
+        F.round(F.stddev_samp(c), 6).alias("std_v"),
+        F.round(F.min(c), 6).alias("min_v"),
+        F.round(F.max(c), 6).alias("max_v"),
+        n.alias("count_v"),
+        F.round(F.median(c), 6).alias("median_v"),
+        F.round(agg.corrected_skewness(c, n), 6).alias("skew_v"),
+        F.round(agg.corrected_kurtosis(c, n), 6).alias("kurt_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — event counts (long form)
+# ---------------------------------------------------------------------------
+@register(
+    "a8_event_counts",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+)
+def a8_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A9 — QC scalars: observation span + distinct active dates
+# ---------------------------------------------------------------------------
+@register(
+    "a9_qc_scalars",
+    """
+    SELECT user_id,
+           round((epoch(max(ts)) - epoch(min(ts))) / 86400.0, 6) AS duration_days,
+           count(DISTINCT CAST(ts AS DATE)) AS n_dates
+    FROM events GROUP BY 1
+    """,
+)
+def a9_qc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).groupBy("user_id").agg(
+        F.round(
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp"))) / 8.64e10,
+            6,
+        ).alias("duration_days"),
+        F.count_distinct(F.to_date("ts")).alias("n_dates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — closed-form per-group OLS (replaces pingouin.linear_regression)
+# ---------------------------------------------------------------------------
+@register(
+    "a10_ols",
+    """
+    WITH x AS (
+        SELECT user_id,
+               (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 3600.0 AS hours,
+               value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           round(regr_slope(value, hours), 6)     AS slope,
+           round(regr_intercept(value, hours), 6) AS intercept
+    FROM x GROUP BY 1 HAVING count(*) >= 3
+    """,
+)
+def a10_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id")
+    x = ev.withColumn(
+        "hours",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.min(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)) / 3.6e9,
+    )
+    out = x.groupBy("user_id").agg(
+        *agg.ols_exprs("hours", "value"),
+        F.count("*").alias("_n"),
+    )
+    return out.filter(F.col("_n") >= 3).select(
+        "user_id",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W5 — lag/lead feature surface
+# ---------------------------------------------------------------------------
+@register(
+    "w1_lag_lead",
+    f"""
+    SELECT event_id, user_id,
+           round(lag(value)  OVER w, 6) AS prev_v,
+           round(lead(value) OVER w, 6) AS next_v,
+           round(value - lag(value) OVER w, 6) AS delta_v,
+           round(epoch(ts) - epoch(lag(ts) OVER w), 1) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w1_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.lag(v).over(w), 6).alias("prev_v"),
+        F.round(F.lead(v).over(w), 6).alias("next_v"),
+        F.round(v - F.lag(v).over(w), 6).alias("delta_v"),
+        F.round(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))) / 1e6,
+            1,
+        ).alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# I/W2 — gap-based sessionization (cumulative time-delta breaks)
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_gap30",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               max(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM events
+    ), b AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_max IS NULL
+                         OR epoch(ts) - epoch(prev_max) > 1800 THEN 1
+                    ELSE 0 END AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM b
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(epoch(max(ts)) - epoch(min(ts)), 1) AS span_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max = F.max("ts").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gap_s = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(prev_max.cast("timestamp"))
+    ) / 1e6
+    brk = F.when(prev_max.isNull() | (gap_s > 1800), 1).otherwise(0)
+    sid = ev.withColumn(
+        "session_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sid.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp"))) / 1e6,
+            1,
+        ).alias("span_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — point-in-time backfill join (the flagship as-of, leakage-guarded)
+# ---------------------------------------------------------------------------
+@register(
+    "j6_backfill_24h",
+    f"""
+    SELECT r.user_id AS user_id,
+           strftime(r.ts, '{TS_FMT_DUCK}') AS req_ts,
+           count(e.value)            AS n_events,
+           round(sum(e.value), 4)    AS sum_v,
+           round(avg(e.value), 6)    AS mean_v,
+           round(max(e.value), 6)    AS max_v
+    FROM (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+    LEFT JOIN events e
+      ON e.user_id = r.user_id
+     AND e.ts <= r.ts
+     AND epoch(e.ts) > epoch(r.ts) - 86400
+    GROUP BY 1, 2
+    """,
+)
+def j6_backfill_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    requests = (
+        ev.filter(F.col("event_type") == "signup").select("user_id", "ts").distinct()
+    )
+    out = asof.point_in_time_join(
+        ev,
+        requests,
+        agg_exprs=[
+            F.count(F.col("e.value")).alias("n_events"),
+            F.round(F.sum(F.col("e.value")), 4).alias("sum_v"),
+            F.round(F.avg(F.col("e.value")), 6).alias("mean_v"),
+            F.round(F.max(F.col("e.value")), 6).alias("max_v"),
+        ],
+        entity_col="user_id",
+        event_ts="ts",
+        request_ts="ts",
+        lookback_hours=24.0,
+        request_keys=["user_id", "ts"],
+    )
+    return out.select(
+        "user_id", _fmt(F.col("ts"), "req_ts"), "n_events", "sum_v", "mean_v", "max_v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — point-in-interval semi join (context gating)
+# ---------------------------------------------------------------------------
+@register(
+    "j2_interval_semi",
+    """
+    SELECT p.user_id AS user_id, count(*) AS n_in_ctx,
+           round(sum(p.value), 4) AS sum_v
+    FROM events p
+    WHERE p.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events q
+        WHERE q.event_type = 'error' AND q.user_id = p.user_id
+          AND p.ts >= q.ts AND p.ts <= q.ts + INTERVAL 1 HOUR
+      )
+    GROUP BY 1
+    """,
+)
+def j2_interval_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    points = ev.filter(F.col("event_type") == "click")
+    periods = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("period_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("period_end"),
+    )
+    gated = asof.interval_join(
+        points, periods, entity_col="user_id", point_ts="ts", how="semi",
+        bucket_seconds=3600,
+    )
+    return gated.groupBy("user_id").agg(
+        F.count("*").alias("n_in_ctx"), F.round(F.sum("value"), 4).alias("sum_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — anti interval join ("non-context" rows)
+# ---------------------------------------------------------------------------
+@register(
+    "j3_interval_anti",
+    """
+    SELECT p.user_id AS user_id, count(*) AS n_out_ctx,
+           round(avg(p.value), 6) AS mean_v
+    FROM events p
+    WHERE p.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events q
+        WHERE q.event_type = 'error' AND q.user_id = p.user_id
+          AND p.ts >= q.ts AND p.ts <= q.ts + INTERVAL 1 HOUR
+      )
+    GROUP BY 1
+    """,
+)
+def j3_interval_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    points = ev.filter(F.col("event_type") == "click")
+    periods = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("period_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("period_end"),
+    )
+    out = asof.interval_join(
+        points, periods, entity_col="user_id", point_ts="ts", how="anti",
+        bucket_seconds=3600,
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_out_ctx"), F.round(F.avg("value"), 6).alias("mean_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — outer-join feature assembly on (entity, day)
+# ---------------------------------------------------------------------------
+@register(
+    "j1_outer_assembly",
+    f"""
+    WITH a AS (
+        SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 4) AS purchase_sum
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), b AS (
+        SELECT user_id, date_trunc('day', ts) AS d, count(*) AS click_n
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           strftime(coalesce(a.d, b.d), '{TS_FMT_DUCK}') AS day,
+           a.purchase_sum AS purchase_sum, b.click_n AS click_n
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.d = b.d
+    """,
+)
+def j1_outer_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 4).alias("purchase_sum"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.count("*").alias("click_n"))
+    )
+    joined = a.join(b, ["user_id", "d"], "full_outer")
+    return joined.select(
+        "user_id", _fmt(F.col("d"), "day"), "purchase_sum", "click_n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — pivot to wide via conditional aggregation (fixed column set)
+# ---------------------------------------------------------------------------
+@register(
+    "p1_pivot_types",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END)    AS click_n,
+           count(CASE WHEN event_type = 'view' THEN 1 END)     AS view_n,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+           count(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup_n,
+           count(CASE WHEN event_type = 'error' THEN 1 END)    AS error_n
+    FROM events GROUP BY 1
+    """,
+)
+def p1_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("event_type")
+    return _events(spark, sf_dir).groupBy("user_id").agg(
+        *[
+            F.count(F.when(t == typ, 1)).alias(f"{typ}_n")
+            for typ in ["click", "view", "purchase", "signup", "error"]
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — nearest-fill as-of (daily series, fill from nearest observed day)
+# ---------------------------------------------------------------------------
+@register(
+    "j4_nearest_fill",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(avg(value), 6) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+        SELECT b.user_id, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds b
+    ), dense AS (
+        SELECT g.user_id, g.d, daily.v,
+               CASE WHEN daily.v IS NOT NULL THEN g.d END AS obs_d
+        FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    ), filled AS (
+        SELECT user_id, d, v,
+            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+            last_value(obs_d IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+            first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(obs_d IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        FROM dense
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                WHEN (next_d - d) < (d - prev_d) THEN next_v
+                ELSE prev_v END AS v
+    FROM filled
+    """,
+)
+def j4_nearest_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    filled = asof.nearest_fill_daily(
+        daily, entity_col="user_id", date_col="d", value_col="v"
+    )
+    return filled.select(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"), "v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# I1-scale — interval union via running-max island merge (native path)
+# ---------------------------------------------------------------------------
+@register(
+    "i_merge_islands",
+    """
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTES AS e, value
+        FROM events WHERE event_type = 'view'
+    ), o AS (
+        SELECT user_id, s, e, value,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM iv
+    ), b AS (
+        SELECT user_id, s, e, value,
+               CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), isl AS (
+        SELECT user_id, s, e, value,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island
+        FROM b
+    )
+    SELECT user_id, island, strftime(min(s), '%Y-%m-%d %H:%M:%S') AS start_s,
+           strftime(max(e), '%Y-%m-%d %H:%M:%S') AS end_s,
+           count(*) AS n_rows, round(sum(value), 4) AS sum_v
+    FROM isl GROUP BY 1, 2
+    """,
+)
+def i_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+            "value",
+        )
+    )
+    merged = intervals.merge_intervals(
+        iv.withColumn("_island_tmp", F.lit(0)).drop("_island_tmp"),
+        entity_col="user_id",
+        start_col="s",
+        end_col="e",
+        agg_exprs=[F.count("*").alias("n_rows"), F.round(F.sum("value"), 4).alias("sum_v")],
+    )
+    # merge_intervals drops the island id; recompute a per-user ordinal to
+    # match the oracle's island numbering (1-based by start order)
+    w = Window.partitionBy("user_id").orderBy("s")
+    return merged.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("island"),
+        _fmt(F.col("s"), "start_s"),
+        _fmt(F.col("e"), "end_s"),
+        "n_rows",
+        "sum_v",
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture (tuned for a multi-executor cluster, exercised on
+``local[N]`` in the sandbox):
+
+- AQE on (coalescing, skew-join splitting) — runtime re-planning is the
+  first line of defense against shuffle skew at 100 TB.
+- Arrow on — every Python kernel crosses the JVM<->Python boundary in
+  columnar batches, never row-at-a-time.
+- Session timezone pinned to UTC and parquet timestamps read as NTZ so
+  local-time semantics are explicit in the data, not the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "mhealth_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``) in the sandbox; on a real cluster, leave it unset and
+    let ``spark-submit`` provide it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # --- Arrow: all Python kernels are vectorized ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- AQE: runtime re-planning, skew-join splitting ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # 128 MB input splits: at 100 TB this yields ~800k tasks, the
+        # right granularity for a 1000-executor cluster.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from mhealth_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("mhealth_spark_tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()

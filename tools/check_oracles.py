@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet dir, then compares row count, column names,
+and order-insensitive values. Usage:
+
+    python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from mhealth_spark.session import get_spark  # noqa: E402
+from mhealth_spark.source import TESTDATA_TABLES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        except duckdb.IOException:
+            pass
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} vs {len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns {scols} vs {dcols}")
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if len(a) != len(b):
+        return problems
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = np.allclose(
+                av.to_numpy(dtype=float),
+                bv.to_numpy(dtype=float),
+                rtol=1e-9,
+                atol=1e-9,
+                equal_nan=True,
+            )
+        else:
+            ok = av.astype(str).equals(bv.astype(str))
+        if not ok:
+            mism = (av.astype(str) != bv.astype(str))
+            idx = mism[mism].index[:3].tolist()
+            problems.append(
+                f"col {c!r} mismatch, e.g. rows {idx}: "
+                f"{[(av[i], bv[i]) for i in idx]}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entry_mod
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    spark = get_spark("check_oracles", master="local[8]", shuffle_partitions=8)
+    con = duck_con(sf_dir)
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        status = "OK" if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"{status} {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+        for p in problems:
+            print(f"    {p}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
