@@ -57,34 +57,34 @@ TOKENS_SCHEMA = T.StructType(
 # Required column names (reference dataloader.py:74-80)
 HK_REQUIRED_COLUMNS = ["user_id", "local_start", "local_end", "timezone", "type"]
 
-# Categorical domains — reference simple_features.py:25-50
+# Categorical domains — reference simple_features.py:25-50 (verbatim)
 IN_BED_CATEGORIES = [
     "InBed",
-    "AsleepUnspecified",
     "Asleep",
+    "AsleepUnspecified",
+    "CategoryValueUnknown",
+    "Awake",
+    "AwakeUnspecified",
     "AsleepCore",
     "AsleepDeep",
     "AsleepREM",
-    "CoreSleep",
-    "DeepSleep",
-    "REMSleep",
 ]
 ASLEEP_CATEGORIES = [
-    "AsleepUnspecified",
     "Asleep",
+    "AsleepUnspecified",
+    "AwakeUnspecified",
+    "CategoryValueUnknown",
     "AsleepCore",
     "AsleepDeep",
     "AsleepREM",
-    "CoreSleep",
-    "DeepSleep",
-    "REMSleep",
 ]
-AWAKE_CATEGORIES = ["Awake"]
+# local `awake` list inside dailySleepFeatures (simple_features.py:285)
+AWAKE_CATEGORIES = ["Awake", "AwakeUnspecified"]
 ACTIVITY_SAMPLE_TYPES = [
-    "ActiveEnergyBurned",
-    "BasalEnergyBurned",
     "StepCount",
     "AppleExerciseTime",
+    "ActiveEnergyBurned",
+    "BasalEnergyBurned",
 ]
 # Physiological plausibility ranges — generate_features.py:84-100
 VITAL_RANGES = {

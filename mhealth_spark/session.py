@@ -62,4 +62,32 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``mhealth_spark`` importable on executors.
+
+    Arrow kernels (applyInPandas closures) reference module attributes, so
+    Python workers must import the package. On a real cluster this is
+    ``spark-submit --py-files mhealth_spark.zip`` (see cli.py); here we
+    ship the same zip via ``addPyFile`` so any entry point — driver
+    harness, bench, tests — works regardless of cwd/PYTHONPATH.
+    """
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        spark.sparkContext._jsc  # session alive
+        zip_base = os.path.join(tempfile.gettempdir(), "mhealth_spark_pkg")
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(
+                zip_base, "zip", os.path.dirname(pkg_dir), "mhealth_spark"
+            )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - best effort on exotic deploys
+        pass
