@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata.
+
+The Spark-side plumbing — schema, partition-friendly layout, Arrow batch
+shapes, ``mapInPandas`` signatures — is REAL and tested; the actual
+codec step is STUBBED (no image/audio libraries in this container):
+
+- ``decode_stub(..., strict=True)`` raises NotImplementedError exactly
+  where a real decoder (PIL/ffmpeg) would plug in;
+- ``strict=False`` produces a clearly-marked DETERMINISTIC FAKE (features
+  derived from payload bytes) so downstream plumbing can be exercised
+  end-to-end.
+
+At 100 TB: binary payloads dominate scan width — keep media in separate
+parquet column chunks (columnar pruning skips them unless selected),
+partition by (media_type, size bucket) so decode fan-out is balanced,
+and size Arrow batches by BYTES not rows (maxRecordsPerBatch low for
+video, high for thumbnails).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def wrap_as_media(
+    df: DataFrame, id_col: str, bytes_col, media_type: str = "text/utf-8"
+) -> DataFrame:
+    """Lift an arbitrary binary column into the canonical media schema."""
+    payload = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.create_map(
+            F.lit("source"), F.lit("synthetic"), F.lit("codec"), F.lit("none")
+        ).alias("meta"),
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decoder", T.StringType(), True),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: bytes → fixed-dim float vector.
+    Stands in for a real image/audio feature extractor."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    chunks = np.array_split(arr.astype(np.float32), dim)
+    return np.array(
+        [c.mean() / 255.0 if len(c) else 0.0 for c in chunks], dtype=np.float32
+    )
+
+
+def decode_features(
+    media: DataFrame, strict: bool = False, dim: int = 8, batch_rows: int = 256
+) -> DataFrame:
+    """Decode/feature-extract over ``mapInPandas`` — Arrow-batched, one
+    output row per media row. ``strict=True`` raises where the real codec
+    belongs (this container has no image/audio libs)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg — not available "
+                    "in this container; use strict=False for the "
+                    "deterministic fake-decode path"
+                )
+            feats = [
+                _fake_feature(p, dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                    "decoder": ["fake-mean-v1"] * len(pdf),
+                }
+            )
+
+    media = media.repartition(
+        max(int(media.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1),
+        "media_id",
+    )
+    return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def frame_sample_stub(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
+) -> DataFrame:
+    """'Frame sampling' plumbing: emit byte-offset samples per payload
+    (a real video pipeline would emit decoded frames). Demonstrates the
+    one-to-many mapInPandas shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("byte_offset", T.LongType(), False),
+            T.StructField("sample", T.BinaryType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    off = i * every_n_bytes
+                    rows.append(
+                        dict(
+                            media_id=mid,
+                            frame_idx=i,
+                            byte_offset=off,
+                            sample=bytes(payload[off : off + 16]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "byte_offset", "sample"]
+            )
+
+    return media.mapInPandas(gen, out_schema)

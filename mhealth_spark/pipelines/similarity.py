@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``ann_topk_bruteforce`` — exact top-k cosine: broadcast the (small)
+  query set against the corpus; dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, no Python). The correctness baseline.
+- ``ann_lsh_bucketed`` — the scale path: sign-signature buckets (random
+  hyperplane family; here the first ``n_bits`` dimensions' signs, a
+  deterministic, oracle-checkable member of that family). Candidates
+  only form inside a bucket → the join is equi on the signature.
+  At 10^12 vectors: signature = shuffle key, per-bucket top-k via
+  window, multi-probe by flipping low-confidence bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (sequential fold —
+    deterministic accumulation order, parity with the DuckDB oracle)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-match excluded when ids
+    collide). Queries are broadcast — corpus never shuffles."""
+    c = _as_double(corpus, id_col, vec_col).alias("c")
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+        )
+    ).alias("q")
+    scored = (
+        F.broadcast(q).join(c, F.col(f"q.{query_id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{query_id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cosine_expr(F.col("q.qv"), F.col("c.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine"), "rank")
+    )
+
+
+def sign_signature(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits dims."""
+    sig = F.lit(0)
+    for j in range(n_bits):
+        sig = sig * 2 + F.when(F.element_at(vec, j + 1) > 0, 1).otherwise(0)
+    return sig.cast("long")
+
+
+def ann_lsh_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket; equi-join on the signature, per-bucket ranking."""
+    c = _as_double(corpus, id_col, vec_col).withColumn(
+        "sig", sign_signature(F.col("v"), n_bits)
+    ).alias("c")
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+        )
+        .withColumn("sig", sign_signature(F.col("qv"), n_bits))
+    ).alias("q")
+    scored = (
+        q.join(
+            c,
+            (F.col("q.sig") == F.col("c.sig"))
+            & (F.col(f"q.{query_id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{query_id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cosine_expr(F.col("q.qv"), F.col("c.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, fingerprinting. All JVM-side expressions (no UDFs),
+so they run at 100 TB inside whole-stage codegen with pushdown intact.
+
+Two hash tiers:
+- ``xxhash64`` — the scale path (cheap 64-bit, Spark-native);
+- ``md5`` — the parity path, byte-identical in DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+# tiny marker lexicons for n-gram-free language ID (deterministic heuristic)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "est", "que"],
+}
+
+WORD_SPLIT = r"\s+"
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization (empty strings removed)."""
+    return F.filter(
+        F.split(F.col(text_col), WORD_SPLIT), lambda w: w != F.lit("")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (⌈chars/4⌉ per word, the common ~4-chars-per-token heuristic)."""
+    w = words_col(text_col)
+    return df.withColumn("n_words", F.size(w)).withColumn(
+        "n_subwords_est",
+        F.aggregate(
+            w, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / 4).cast("int")
+        ),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality signals."""
+    w = words_col(text_col)
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_stop = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS_EN)))
+    return (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_words", n_words)
+        .withColumn(
+            "q_mean_word_len",
+            F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "q_alpha_ratio",
+            F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "q_stopword_ratio",
+            F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(None)),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: argmax of per-language marker hits
+    (ties → lexicon order; zero hits → 'unknown')."""
+    w = words_col(text_col)
+
+    def marker_pred(markers: list[str]):
+        # factory, not a default-arg lambda: PySpark reads lambda arity and
+        # a 2nd parameter would be bound to the array index
+        return lambda x: F.lower(x).isin(markers)
+
+    counts = {
+        lang: F.size(F.filter(w, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("unknown")
+    best_n = F.lit(0)
+    for lang, n in counts.items():
+        is_better = n > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return df.withColumn("lang_pred", best)
+
+
+def shingles_col(text_col: str = "text", n: int = 5) -> Column:
+    """Distinct word n-gram shingles as space-joined strings."""
+    w = words_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
+    )
+    return F.array_distinct(F.filter(sh, lambda s: s != F.lit("")))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized text
+    (byte-identical to the DuckDB oracle)."""
+    norm = F.concat_ws(" ", words_col(text_col))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def rolling_fingerprint_xxh(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scale-path rolling fingerprint: xxhash64 folded over word hashes
+    (order-sensitive, 64-bit) — the cheap dedup key at 100 TB."""
+    w = words_col(text_col)
+    fp = F.aggregate(
+        w,
+        F.lit(1469598103934665603).cast("long"),  # FNV offset basis seed
+        lambda acc, x: F.xxhash64(acc, x),
+    )
+    return df.withColumn("fingerprint64", fp)

@@ -636,3 +636,8 @@ def i_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_v",
     )
+
+
+# Register the training-data pipeline queries (dedup/similarity/text/
+# multimodal/TPC-H anchor) into the same registry.
+from mhealth_spark import queries_data  # noqa: E402,F401

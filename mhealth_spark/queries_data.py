@@ -1,0 +1,378 @@
+"""Driver queries for the training-data pipeline operators (dedup,
+similarity, text analysis, multimodal) over the ``documents`` /
+``embeddings`` / ``lineitem`` testdata tables. Registered into the same
+QUERIES/ORACLES registry as the core operators (see queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mhealth_spark.pipelines import dedup, multimodal, similarity, text
+from mhealth_spark.queries import register
+from mhealth_spark.source import read_table
+
+_WORDS_SQL = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({w}) - 4, 1)), "
+    "i -> array_to_string({w}[i:i+4], ' ')))"
+).format(w="w")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, "embeddings", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x)/4.0) AS BIGINT)))
+                AS BIGINT) AS n_subwords_est
+    FROM d
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS q_n_chars,
+           CAST(len(w) AS BIGINT) AS q_n_words,
+           round(length(text) * 1.0 / len(w), 6) AS q_mean_word_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / length(text), 6) AS q_punct_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 * 1.0 / length(text), 6) AS q_alpha_ratio,
+           round(len(list_filter(w, x -> list_contains(
+                 ['the','a','an','of','and','to','in','is','it','that'], lower(x))))
+                 * 1.0 / len(w), 6) AS q_stopword_ratio
+    FROM d
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").cast("long").alias("q_n_chars"),
+        F.col("q_n_words").cast("long").alias("q_n_words"),
+        F.round("q_mean_word_len", 6).alias("q_mean_word_len"),
+        F.round("q_punct_ratio", 6).alias("q_punct_ratio"),
+        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
+        F.round("q_stopword_ratio", 6).alias("q_stopword_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+        len(list_filter(w, x -> list_contains(['the','a','of','and','is'], lower(x)))) c_en,
+        len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], lower(x)))) c_de,
+        len(list_filter(w, x -> list_contains(['el','la','de','que','es'], lower(x)))) c_es,
+        len(list_filter(w, x -> list_contains(['le','la','et','est','que'], lower(x)))) c_fr
+      FROM d)
+    SELECT doc_id,
+      CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+           WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+           WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+           WHEN c_fr > 0 THEN 'fr'
+           ELSE 'unknown' END AS lang_pred
+    FROM c
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id, md5(array_to_string(w, ' ')) AS fingerprint FROM d
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_md5(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# rolling 64-bit fingerprint: Spark-only hash chain → rows-only check
+@register("text_fingerprint64_rolling")
+def text_fingerprint64_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_fingerprint_xxh(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint64"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH d AS (SELECT doc_id, md5(array_to_string({_WORDS_SQL}, ' ')) AS fp
+               FROM documents),
+    g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keep_id
+          FROM d GROUP BY 1)
+    SELECT d.doc_id AS doc_id, g.group_size AS group_size, g.keep_id AS keep_id
+    FROM d JOIN g USING (fp)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM d),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+    return out.select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM d WHERE len(w) > 0),
+    sig AS (SELECT doc_id,
+      list_min(list_transform(s, x -> md5(x || '#0'))) mh0,
+      list_min(list_transform(s, x -> md5(x || '#1'))) mh1,
+      list_min(list_transform(s, x -> md5(x || '#2'))) mh2,
+      list_min(list_transform(s, x -> md5(x || '#3'))) mh3,
+      list_min(list_transform(s, x -> md5(x || '#4'))) mh4,
+      list_min(list_transform(s, x -> md5(x || '#5'))) mh5,
+      list_min(list_transform(s, x -> md5(x || '#6'))) mh6,
+      list_min(list_transform(s, x -> md5(x || '#7'))) mh7
+      FROM sh),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sig UNION ALL
+      SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig UNION ALL
+      SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig UNION ALL
+      SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash16",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id, CAST({' + '.join(
+        f"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN "
+        f"substr(md5(x), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * {2 ** (15 - j)}"
+        for j in range(16)
+    )} AS BIGINT) AS simhash16
+    FROM d
+    """,
+)
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_docs(spark, sf_dir))
+
+
+# 64-bit simhash (xxhash64) — Spark-only scale path → rows-only check
+@register("dedup_simhash64")
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 9) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    """
+    WITH sigc AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)*128 +
+             (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)*64 +
+             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)*32 +
+             (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)*16 +
+             (CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END)*8 +
+             (CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END)*4 +
+             (CASE WHEN embedding[7] > 0 THEN 1 ELSE 0 END)*2 +
+             (CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END) AS sig
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, sig FROM sigc WHERE vec_id < 50),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS cos
+      FROM q JOIN sigc c ON c.sig = q.sig AND c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 9) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_lsh_bucketed(emb, queries, k=5, n_bits=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'text/utf-8' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.wrap_as_media(
+        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "UTF-8")
+    )
+    return media.select("media_id", "media_type", "n_bytes")
+
+
+# decode path uses mapInPandas (fake decoder) → rows-only check
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.wrap_as_media(
+        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "UTF-8")
+    )
+    feats = multimodal.decode_features(media, strict=False, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.col("feature")[0].alias("f0"), "decoder"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style pricing summary (classic agg anchor on lineitem)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
