@@ -1,0 +1,111 @@
+"""spark-submit entry point (north_rule: "submitted via spark-submit
+--py-files to multi-executor clusters").
+
+Packaging + submission:
+
+    python -m mhealth_spark.cli package --out /tmp/mhealth_spark.zip
+    spark-submit --py-files /tmp/mhealth_spark.zip \\
+        $(python -c 'import mhealth_spark.cli as c; print(c.__file__)') \\
+        tokens-backfill --input iceberg:db.tokens --output /data/features \\
+        --checkpoint-dir /data/ckpt --lookback-hours 24
+
+In the sandbox (no cluster), the same commands run on local[N].
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import tempfile
+import os
+
+
+def _build_zip(out: str | None = None) -> str:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = (out or os.path.join(tempfile.gettempdir(), "mhealth_spark.zip"))
+    base_noext = base[:-4] if base.endswith(".zip") else base
+    path = shutil.make_archive(
+        base_noext, "zip", os.path.dirname(pkg_dir), "mhealth_spark"
+    )
+    return path
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="mhealth_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_pkg = sub.add_parser("package", help="build the --py-files zip")
+    p_pkg.add_argument("--out", default=None)
+
+    def add_io(p):
+        p.add_argument("--input", required=True, help="parquet path or iceberg:<table>")
+        p.add_argument("--output", required=True)
+        p.add_argument("--checkpoint-dir", default=None)
+        p.add_argument("--entity-col", default="source")
+        p.add_argument("--partitions", type=int, default=None)
+        p.add_argument("--master", default=None)
+
+    p_bf = sub.add_parser("tokens-backfill", help="as-of backfill features")
+    add_io(p_bf)
+    p_bf.add_argument("--lookback-hours", type=float, default=24.0)
+
+    p_rf = sub.add_parser("tokens-row-features", help="lag/lead/rolling features")
+    add_io(p_rf)
+
+    p_daily = sub.add_parser("hk-daily", help="HealthKit daily feature table")
+    add_io(p_daily)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "package":
+        print(_build_zip(args.out))
+        return 0
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mhealth_spark.session import get_spark
+    from mhealth_spark.source import read_table
+
+    spark = get_spark(f"mhealth_spark-{args.cmd}", master=args.master,
+                      shuffle_partitions=args.partitions)
+    df = read_table(spark, args.input)
+
+    if args.cmd == "tokens-backfill":
+        from mhealth_spark.tokens_engine import backfill_features, hourly_requests
+
+        out = backfill_features(
+            df,
+            hourly_requests(df, args.entity_col),
+            entity_col=args.entity_col,
+            lookback_hours=args.lookback_hours,
+        )
+    elif args.cmd == "tokens-row-features":
+        from mhealth_spark.tokens_engine import row_features
+
+        out = row_features(df, entity_col=args.entity_col)
+    elif args.cmd == "hk-daily":
+        from mhealth_spark.features import collect_all_daily_features
+
+        out = collect_all_daily_features(df)
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown cmd {args.cmd}")
+
+    if args.checkpoint_dir:
+        from mhealth_spark.checkpoint import checkpointed_write
+
+        stats = checkpointed_write(
+            out, args.output, entity_col=args.entity_col,
+            num_partitions=args.partitions or 16,
+        )
+        print(stats)
+    else:
+        from mhealth_spark.source import write_table
+
+        write_table(out, args.output)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

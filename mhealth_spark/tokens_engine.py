@@ -1,0 +1,145 @@
+"""The north-rule flagship: point-in-time / windowed feature engine over
+the pre-tokenized sequence table ``(doc_id, tokens array<int32>, n_tok,
+source)`` (BASELINE.json input_hint), at 10^12-sequence posture.
+
+Physical contract: range-partition by entity, sortWithinPartitions by
+(entity, ts) — every window op below reuses that ONE exchange. Heavy
+entities (the synthetic ``web`` source holds ~50% of rows) are handled
+with salted two-phase aggregation; joins split under AQE.
+
+Feature surface (all JVM-side, zero Python in the hot path):
+
+- ``row_features``       — lag/lead/delta + bounded rolling window aggs
+                           per (entity, ts); token arrays PASS THROUGH
+                           byte-identical (input_hint invariant).
+- ``sessionized``        — gap-based sessionization + per-session rollup.
+- ``backfill_features``  — as-of lookback aggregates for a requests
+                           table with the structural leakage guard.
+- ``daily_source_stats`` — skew-safe daily rollup per source (salted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from mhealth_spark.asof import point_in_time_join
+from mhealth_spark.intervals import sessionize
+from mhealth_spark.skew import salted_agg
+from mhealth_spark.source import layout_events
+
+
+def row_features(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    lookback_rows: int = 10,
+) -> DataFrame:
+    """Per-row lag/lead + bounded rolling features; tokens untouched."""
+    df = layout_events(tokens, entity_col=entity_col, ts_col=ts_col)
+    w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
+    wb = w.rowsBetween(-lookback_rows, -1)  # strictly past rows: no leakage
+    n = F.col("n_tok")
+    return df.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        "tokens",  # pass-through, byte-identical
+        "n_tok",
+        F.lag(n).over(w).alias("prev_n_tok"),
+        F.lead(n).over(w).alias("next_n_tok"),
+        (n - F.lag(n).over(w)).alias("delta_n_tok"),
+        F.avg(n).over(wb).alias("roll_mean_n_tok"),
+        F.sum(n).over(wb).alias("roll_sum_n_tok"),
+        F.count(n).over(wb).alias("roll_count"),
+        (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def sessionized(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    gap_minutes: float = 60.0,
+) -> DataFrame:
+    """Gap-sessionize arrivals per entity and roll up per session."""
+    s = sessionize(
+        layout_events(tokens, entity_col=entity_col, ts_col=ts_col),
+        entity_col=entity_col,
+        start_col=ts_col,
+        end_col=None,
+        gap_minutes=gap_minutes,
+    )
+    return s.groupBy(entity_col, "session_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("session_tokens"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def backfill_features(
+    tokens: DataFrame,
+    requests: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    lookback_hours: float = 24.0,
+) -> DataFrame:
+    """As-of lookback features per (entity, request ts): every aggregate
+    sees only ``ts <= request.ts`` (leakage guard inside the join)."""
+    return point_in_time_join(
+        tokens,
+        requests,
+        agg_exprs=[
+            F.count(F.col("e.n_tok")).alias("docs_24h"),
+            F.sum(F.col("e.n_tok")).alias("tokens_24h"),
+            F.avg(F.col("e.n_tok")).alias("mean_len_24h"),
+            F.max(F.col("e.n_tok")).alias("max_len_24h"),
+        ],
+        entity_col=entity_col,
+        event_ts=ts_col,
+        request_ts="ts",
+        lookback_hours=lookback_hours,
+        request_keys=[entity_col, "ts"],
+    )
+
+
+def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
+    """Deterministic request grid: one request per (entity, hour) over the
+    observed span — the backfill workload for benchmarks."""
+    span = tokens.groupBy(entity_col).agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("_t0"),
+        F.date_trunc("HOUR", F.max("ts")).alias("_t1"),
+    )
+    return span.select(
+        entity_col,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+
+
+def daily_source_stats(
+    tokens: DataFrame, entity_col: str = "source", salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe daily rollup (the heavy 'web' entity would otherwise pin
+    one reducer): salted partials → merge."""
+    with_day = tokens.withColumn("_day", F.to_date("ts"))
+    return salted_agg(
+        with_day,
+        keys=[entity_col, "_day"],
+        partial_exprs=[
+            F.sum("n_tok").alias("s"),
+            F.count("*").alias("n"),
+            F.max("n_tok").alias("mx"),
+        ],
+        final_exprs=[
+            F.sum("n").alias("n_docs"),
+            F.sum("s").alias("total_tokens"),
+            (F.sum("s") / F.sum("n")).alias("mean_len"),
+            F.max("mx").alias("max_len"),
+        ],
+        salt_buckets=salt_buckets,
+    )

@@ -1,0 +1,174 @@
+"""Scale-discipline features: checkpoint/resume with lineage manifests,
+salted skew-safe aggregation, the tokens feature engine, and ingest."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mhealth_spark.checkpoint import (
+    checkpointed_write,
+    completed_partitions,
+    input_fingerprint,
+    read_checkpointed,
+)
+from mhealth_spark.loader import add_local_time, normalize_events
+from mhealth_spark.skew import salted_agg
+from mhealth_spark.synth import synth_tokens
+from mhealth_spark.tokens_engine import (
+    backfill_features,
+    daily_source_stats,
+    hourly_requests,
+    row_features,
+    sessionized,
+)
+
+
+def test_checkpoint_resume_identical_output(spark, tmp_path):
+    df = synth_tokens(spark, 2000, seed=3).select("doc_id", "source", "n_tok")
+    out_dir = str(tmp_path / "ckpt")
+    fp = input_fingerprint(df, ["doc_id"])
+
+    # first attempt dies after 3 of 8 partitions
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpointed_write(df, out_dir, "doc_id", num_partitions=8, fail_after=3)
+    done = completed_partitions(out_dir, fp)
+    assert len(done) == 3
+
+    # resume completes only the remaining 5
+    stats = checkpointed_write(df, out_dir, "doc_id", num_partitions=8)
+    assert stats["skipped"] == 3 and stats["written"] == 5
+
+    got = read_checkpointed(spark, out_dir).toPandas().sort_values("doc_id")
+    exp = df.toPandas().sort_values("doc_id")
+    assert list(got.doc_id) == list(exp.doc_id)
+    assert (got.n_tok.to_numpy() == exp.n_tok.to_numpy()).all()
+
+    # manifests carry rows/bytes + lineage fingerprint
+    m = json.load(open(os.path.join(out_dir, "_manifests", "part-0.json")))
+    assert m["rows"] > 0 and m["bytes"] > 0 and m["input_fingerprint"] == fp
+    assert os.path.exists(os.path.join(out_dir, "_lineage.json"))
+
+    # changed input invalidates old manifests
+    df2 = synth_tokens(spark, 2100, seed=3).select("doc_id", "source", "n_tok")
+    fp2 = input_fingerprint(df2, ["doc_id"])
+    assert fp2 != fp
+    assert completed_partitions(out_dir, fp2) == set()
+
+
+def test_salted_agg_matches_plain(spark):
+    df = synth_tokens(spark, 3000, seed=4)
+    plain = (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total"),
+            F.avg("n_tok").alias("mean_len"),
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_agg(
+            df,
+            keys=["source"],
+            partial_exprs=[
+                F.sum("n_tok").alias("s"),
+                F.count("*").alias("n"),
+            ],
+            final_exprs=[
+                F.sum("n").alias("n_docs"),
+                F.sum("s").alias("total"),
+                (F.sum("s") / F.sum("n")).alias("mean_len"),
+            ],
+            salt_buckets=8,
+        )
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["source", "n_docs", "total"]], salted[["source", "n_docs", "total"]]
+    )
+    np.testing.assert_allclose(plain["mean_len"], salted["mean_len"], rtol=1e-12)
+
+
+def test_tokens_engine_row_features_passthrough_and_no_leakage(spark):
+    tk = synth_tokens(spark, 1500, seed=8)
+    rf = row_features(tk).cache()
+    pdf = rf.toPandas()
+    assert len(pdf) == 1500
+    # pass-through invariant
+    src = tk.select("doc_id", "tokens").toPandas().set_index("doc_id")["tokens"]
+    for _, r in pdf.sample(50, random_state=0).iterrows():
+        assert list(r["tokens"]) == list(src[r["doc_id"]])
+    # rolling windows use strictly past rows: first row per entity has none
+    firsts = pdf.sort_values(["source", "ts", "doc_id"]).groupby("source").head(1)
+    assert firsts["roll_count"].fillna(0).eq(0).all()
+    assert firsts["prev_n_tok"].isna().all()
+
+
+def test_tokens_engine_backfill_and_sessions(spark):
+    tk = synth_tokens(spark, 1200, seed=9)
+    reqs = hourly_requests(tk)
+    bf = backfill_features(tk, reqs, lookback_hours=24.0).toPandas()
+    assert len(bf) == reqs.count()
+    # brute-force check a few request rows
+    tp = tk.select("source", "ts", "n_tok").toPandas()
+    for _, r in bf.sample(20, random_state=1).iterrows():
+        lo = r.ts - dt.timedelta(hours=24)
+        win = tp[(tp.source == r.source) & (tp.ts > lo) & (tp.ts <= r.ts)]
+        assert (r.docs_24h or 0) == len(win)
+    sess = sessionized(tk, gap_minutes=60.0).toPandas()
+    assert (sess.n_docs >= 1).all()
+    assert sess.session_tokens.sum() == tp.n_tok.sum()
+
+
+def test_daily_source_stats_skew_safe(spark):
+    tk = synth_tokens(spark, 2000, seed=10)
+    out = daily_source_stats(tk).toPandas()
+    plain = (
+        tk.withColumn("_day", F.to_date("ts"))
+        .groupBy("source", "_day")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+        .toPandas()
+    )
+    merged = out.merge(plain, on=["source", "_day"], suffixes=("", "_p"))
+    assert (merged.n_docs == merged.n_docs_p).all()
+    assert (merged.total_tokens == merged.total_tokens_p).all()
+
+
+def test_loader_normalize_and_local_time(spark):
+    pdf = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1", "u1"],
+            "utc_start": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-03 10:00", "2024-01-05 10:00"]
+            ),
+            "timezone": ["America/New_York", None, "America/Los_Angeles"],
+            "type": ["heart_rate", "step_count", "sleep_analysis"],
+            "body.quantity.value": [70.0, None, None],
+            "body.category.value": [None, "500", "Asleep"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with_local = add_local_time(df, ts_col="utc_start")
+    norm = normalize_events(
+        with_local.withColumn("local_end", F.col("local_start"))
+    ).toPandas().sort_values("utc_start")
+    assert list(norm["type"]) == ["HeartRate", "StepCount", "SleepAnalysis"]
+    # day 2 has no tz → nearest observed day (Jan1 NY vs Jan5 LA, tie→prev)
+    assert list(norm["timezone"]) == [
+        "America/New_York", "America/New_York", "America/Los_Angeles",
+    ]
+    # UTC→local conversion vectorized: 10:00 UTC = 05:00 New York (EST)
+    assert norm.iloc[0]["local_start"].hour == 5
+    assert norm["value"].tolist() == ["70.0", "500", "Asleep"]
+    assert norm["value_num"].tolist()[1] == 500.0
