@@ -55,6 +55,16 @@ def synth_tokens(
         )
     else:
         src_idx = F.pmod(F.xxhash64(F.col("_i"), F.lit(seed + 1)), F.lit(8)).cast("int")
+    # writer entity: high-cardinality (n_docs/100 writers), skewed — 1% of
+    # writers ("heavy" hash bucket) own ~30% of docs. Window/session ops
+    # partition on this; `source` (8 values, one heavy) exercises
+    # aggregate-level skew instead.
+    n_writers = max(n_docs // 100, 8)
+    wh = F.xxhash64(F.col("_i"), F.lit(seed + 3))
+    heavy = F.pmod(F.xxhash64(F.col("_i"), F.lit(seed + 4)), F.lit(10)) < 3
+    writer = F.when(
+        heavy, F.pmod(wh, F.lit(max(n_writers // 100, 1)))
+    ).otherwise(F.pmod(wh, F.lit(n_writers)))
     sources = F.array(*[F.lit(s) for s in SOURCES])
     tokens = F.transform(
         F.sequence(F.lit(0), n_tok - 1),
@@ -67,6 +77,7 @@ def synth_tokens(
         tokens.alias("tokens"),
         n_tok.alias("n_tok"),
         F.element_at(sources, src_idx + 1).alias("source"),
+        F.concat(F.lit("w"), writer).alias("writer_id"),
         # event-time: docs arrive over 30 days, deterministic per doc
         F.timestamp_seconds(
             F.lit(int(EPOCH.timestamp()))

@@ -30,12 +30,23 @@ from mhealth_spark.source import layout_events
 
 def row_features(
     tokens: DataFrame,
-    entity_col: str = "source",
+    entity_col: str = "writer_id",
     ts_col: str = "ts",
     lookback_rows: int = 10,
+    pre_layout: bool = False,
 ) -> DataFrame:
-    """Per-row lag/lead + bounded rolling features; tokens untouched."""
-    df = layout_events(tokens, entity_col=entity_col, ts_col=ts_col)
+    """Per-row lag/lead + bounded rolling features; tokens untouched.
+
+    The Window performs the single (entity) hash exchange itself;
+    ``pre_layout=True`` adds the engine's range layout first — useful
+    only when several downstream ops will reuse it (it would otherwise
+    DOUBLE the shuffle of the heavy token payload).
+    """
+    df = (
+        layout_events(tokens, entity_col=entity_col, ts_col=ts_col)
+        if pre_layout
+        else tokens
+    )
     w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
     wb = w.rowsBetween(-lookback_rows, -1)  # strictly past rows: no leakage
     n = F.col("n_tok")
@@ -58,9 +69,39 @@ def row_features(
     )
 
 
+def sequence_features(tokens: DataFrame) -> DataFrame:
+    """Map-only per-sequence feature vector (no shuffle: scan → project):
+    length, token-id moments, distinct ratio, rolling fingerprint. This is
+    the CPU-bound tier of the engine — it scales linearly with cores
+    because no exchange is involved, and at 10^12 sequences it is the
+    dominant cost of a pass over the corpus."""
+    t = F.col("tokens")
+    s = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + x)
+    s2 = F.aggregate(
+        t, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    n = F.size(t)
+    mean = s / n
+    return tokens.select(
+        "doc_id",
+        "writer_id",
+        "source",
+        "ts",
+        "n_tok",
+        mean.alias("tok_mean"),
+        F.sqrt(s2 / n - mean * mean).alias("tok_std"),
+        F.array_min(t).alias("tok_min"),
+        F.array_max(t).alias("tok_max"),
+        (F.size(F.array_distinct(t)) / n).alias("distinct_ratio"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, x: F.xxhash64(a, x)
+        ).alias("fingerprint64"),
+    )
+
+
 def sessionized(
     tokens: DataFrame,
-    entity_col: str = "source",
+    entity_col: str = "writer_id",
     ts_col: str = "ts",
     gap_minutes: float = 60.0,
 ) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Streaming ops: batch/stream agreement via file source + availableNow
+trigger + memory sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mhealth_spark.streaming import stream_sessionize, stream_tumbling_stats
+
+
+def _write_events(spark, path):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in ["a", "b"]:
+        for i in range(50):
+            rows.append(
+                dict(
+                    user_id=u,
+                    ts=base + dt.timedelta(minutes=7 * i + (5 if u == "b" else 0)),
+                    value=float(i),
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _run_stream(spark, path, transform, name):
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "append" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").toPandas()
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "ev")
+    batch_df = _write_events(spark, path)
+    got = _run_stream(
+        spark, path, lambda s: stream_tumbling_stats(s, window="1 hour"), "t_tumble"
+    ).sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    exp = (
+        batch_df.groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.avg("value").alias("mean_v"))
+        .select("user_id", F.col("w.start").alias("window_start"), "n", "mean_v")
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_stream_sessionize(spark, tmp_path):
+    path = str(tmp_path / "ev2")
+    _write_events(spark, path)
+    got = _run_stream(
+        spark, path, lambda s: stream_sessionize(s, gap="30 minutes"), "t_sess"
+    )
+    # 7-minute cadence with 30-minute gap → one session per user
+    assert len(got) == 2
+    assert (got["n_events"] == 50).all()

@@ -1,0 +1,81 @@
+"""Plan-quality audit: prints `.explain("formatted")` for headline queries
+and greps for the properties the engine promises:
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan (ReadSchema)
+- interval/as-of joins are shuffled EQUI joins, never
+  BroadcastNestedLoopJoin / CartesianProduct
+- small dimension sides broadcast
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from mhealth_spark.queries import QUERIES  # noqa: E402
+from mhealth_spark.session import get_spark  # noqa: E402
+
+AUDIT = {
+    "f1_filter_project": dict(
+        requires=["PushedFilters: \\[.*event_type.*\\]"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "flagship_hourly_daily_stats": dict(
+        requires=["PushedFilters: \\[.*event_type.*\\]", "HashAggregate"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "j6_backfill_24h": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "j2_interval_semi": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftSemi"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "sessionize_gap30": dict(
+        requires=["Window"], forbids=["CartesianProduct"]
+    ),
+    "dedup_minhash_lsh": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(AUDIT)
+    spark = get_spark("explain_audit", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name in names:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        spec = AUDIT.get(name, {})
+        problems = []
+        for pat in spec.get("requires", []):
+            if not re.search(pat, plan, re.DOTALL):
+                problems.append(f"MISSING {pat}")
+        for pat in spec.get("forbids", []):
+            if re.search(pat, plan):
+                problems.append(f"FORBIDDEN {pat}")
+        status = "OK" if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"{status} {name}")
+        for p in problems:
+            print(f"    {p}")
+        if problems or name in sys.argv[1:]:
+            print(plan[:4000])
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
