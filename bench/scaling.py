@@ -116,8 +116,30 @@ spark.stop()
         subprocess.run([sys.executable, "-c", gen], check=True, timeout=1200,
                        capture_output=True)
 
-    lo = run_level(8); print("local8 done", flush=True)
-    hi = run_level(32)
+    # The sandbox host's performance fluctuates over tens of minutes, so
+    # single-shot per-level runs are unusable. Interleave the levels over
+    # several rounds and take each level's BEST (both levels then sample
+    # the same noise distribution; min is the host's true capability).
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    lo_runs, hi_runs = [], []
+    for r in range(rounds):
+        lo_runs.append(run_level(8))
+        print(f"round {r}: local8 done", flush=True)
+        hi_runs.append(run_level(32))
+        print(f"round {r}: local32 done", flush=True)
+
+    sec_keys = [k for k in lo_runs[0] if k.endswith("_sec")]
+    rate_keys = [k for k in lo_runs[0] if k.startswith("rows_per_sec")]
+
+    def best(runs):
+        out = dict(runs[0])
+        for k in sec_keys:
+            out[k] = min(r[k] for r in runs)
+        for k in rate_keys:
+            out[k] = max(r[k] for r in runs)
+        return out
+
+    lo, hi = best(lo_runs), best(hi_runs)
 
     def eff(metric: str) -> float:
         return hi[metric] / (4.0 * lo[metric])

@@ -376,3 +376,42 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# North-rule tokens engine (deterministic synthetic input; xxhash64-based
+# generation is not reproducible in DuckDB → rows-only checks)
+# ---------------------------------------------------------------------------
+def _tokens(spark: SparkSession, n: int = 3000) -> DataFrame:
+    from mhealth_spark.synth import synth_tokens
+
+    return synth_tokens(spark, n, seed=42)
+
+
+@register("tokens_row_features")
+def tokens_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.tokens_engine import row_features
+
+    return row_features(_tokens(spark)).drop("tokens")
+
+
+@register("tokens_backfill_24h")
+def tokens_backfill_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.tokens_engine import backfill_features, hourly_requests
+
+    tk = _tokens(spark)
+    return backfill_features(tk, hourly_requests(tk))
+
+
+@register("tokens_sessionize")
+def tokens_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.tokens_engine import sessionized
+
+    return sessionized(_tokens(spark), gap_minutes=120.0)
+
+
+@register("tokens_sequence_features")
+def tokens_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.tokens_engine import sequence_features
+
+    return sequence_features(_tokens(spark))

@@ -76,26 +76,39 @@ def sequence_features(tokens: DataFrame) -> DataFrame:
     because no exchange is involved, and at 10^12 sequences it is the
     dominant cost of a pass over the corpus."""
     t = F.col("tokens")
-    s = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + x)
-    s2 = F.aggregate(
-        t, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
-    )
     n = F.size(t)
-    mean = s / n
-    return tokens.select(
+    # ONE fold computes sum, sum-of-squares and the rolling fingerprint:
+    # Catalyst does NOT common-subexpression-eliminate across higher-order
+    # lambdas, so separate folds would each rescan the array per output
+    # column referencing them.
+    zero = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0.0).alias("q"),
+        F.lit(0).cast("long").alias("h"),
+    )
+    acc = F.aggregate(
+        t,
+        zero,
+        lambda a, x: F.struct(
+            (a["s"] + x).alias("s"),
+            (a["q"] + x.cast("double") * x.cast("double")).alias("q"),
+            F.xxhash64(a["h"], x).alias("h"),
+        ),
+    )
+    out = tokens.withColumn("_acc", acc)
+    mean = F.col("_acc.s") / n
+    return out.select(
         "doc_id",
         "writer_id",
         "source",
         "ts",
         "n_tok",
         mean.alias("tok_mean"),
-        F.sqrt(s2 / n - mean * mean).alias("tok_std"),
+        F.sqrt(F.col("_acc.q") / n - mean * mean).alias("tok_std"),
         F.array_min(t).alias("tok_min"),
         F.array_max(t).alias("tok_max"),
         (F.size(F.array_distinct(t)) / n).alias("distinct_ratio"),
-        F.aggregate(
-            t, F.lit(0).cast("long"), lambda a, x: F.xxhash64(a, x)
-        ).alias("fingerprint64"),
+        F.col("_acc.h").alias("fingerprint64"),
     )
 
 
