@@ -39,13 +39,15 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_n: int = 5,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """k MinHash values per doc over word n-gram shingles.
 
-    hash_fn='md5' → string minima, byte-identical in DuckDB oracles;
-    hash_fn='xxh' → 64-bit minima (the scale path: 8 bytes/hash, JVM-only).
-    Docs with no shingles are dropped (no signature).
+    hash_fn='xxh' (default, the scale path) → 64-bit minima: one cheap
+    xxhash64 per (shingle, i), 8 bytes per hash, JVM-only.
+    hash_fn='md5' is the ORACLE-ONLY parity tier (string minima,
+    byte-identical in DuckDB) — 8 full md5s per shingle, never the
+    production path. Docs with no shingles are dropped (no signature).
     """
     sh = shingles_col(text_col, shingle_n)
     base = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
@@ -74,7 +76,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 5,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair
     (id_a < id_b). The join key is (band_index, band_hash) — a plain
@@ -117,12 +119,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over an inverted-index self-join:
-    |A∩B| from shared shingles, |A|,|B| from per-doc distinct counts."""
+    """n-gram Jaccard over an inverted-index self-join:
+    |A∩B| from shared shingles, |A|,|B| from per-doc distinct counts.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    BEFORE the self-join (standard stop-shingle pruning): without it, one
+    boilerplate shingle shared by k docs creates a k² join blowup, which
+    is fatal at web scale. Jaccard is then computed over the pruned
+    shingle universe (sizes come from the same filtered set, so the
+    measure stays a true Jaccard on informative shingles)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("s")
     )
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "s").select(
+            id_col, "s"
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,51 +166,146 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
 
 
+def _simhash_from_word_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_col_fn,
+    bit_contrib_fn,
+    n_bits: int,
+    out_col: str,
+) -> DataFrame:
+    """Single-pass SimHash skeleton: explode words → compute the word hash
+    ONCE (a projection — Catalyst does not CSE a hash referenced by 64
+    separate aggregate expressions, so it must be materialized first) →
+    all bit-contribution sums in ONE groupBy. Map-side partial aggregation
+    collapses the exploded rows to ~1 row/doc before the shuffle, so
+    shuffle volume is docs × n_bits ints, not words. Docs with no words
+    keep signature 0 (empty contributions = all bits 0), via left join."""
+    ids = df.select(F.col(id_col))
+    words = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("_w")
+    ).select(F.col(id_col), hash_col_fn(F.col("_w")).alias("_h"))
+    contribs = words.groupBy(id_col).agg(
+        *[
+            F.sum(bit_contrib_fn(F.col("_h"), j)).alias(f"_c{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bit = F.when(F.col(f"_c{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = F.shiftleft(sig, 1) + bit
+    signed = contribs.select(F.col(id_col), sig.alias(out_col))
+    return ids.join(signed, id_col, "left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col)
+    )
+
+
 def simhash16(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """16-bit SimHash from the high bit of each md5 hex digit per word
     (parity tier — byte-identical in SQL). The scale path is
-    ``simhash64``."""
-    w = words_col(text_col)
+    ``simhash64``. Word hash computed once per word (single md5), not
+    once per bit."""
     high = list("89abcdef")
-
-    def contrib_fn(j: int):
-        return lambda acc, x: acc + F.when(
-            F.substring(F.md5(x), j + 1, 1).isin(high), F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for j in range(16):
-        contrib = F.aggregate(w, F.lit(0), contrib_fn(j))
-        bit_cols.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)))
-    sig = bit_cols[0]
-    for b in bit_cols[1:]:
-        sig = sig * 2 + b
-    return df.select(F.col(id_col), sig.cast("long").alias("simhash16"))
+    return _simhash_from_word_hash(
+        df,
+        id_col,
+        text_col,
+        hash_col_fn=lambda w: F.md5(w),
+        bit_contrib_fn=lambda h, j: F.when(
+            F.substring(h, j + 1, 1).isin(high), F.lit(1)
+        ).otherwise(F.lit(-1)),
+        n_bits=16,
+        out_col="simhash16",
+    )
 
 
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash via xxhash64 word hashes (scale path). Near-dups =
-    signatures within small Hamming distance; bucket by bit-blocks for
-    sub-quadratic search."""
-    w = words_col(text_col)
+    """64-bit SimHash via xxhash64 word hashes (scale path): one xxhash64
+    per word, 64 shift/and bit contributions in one groupBy. Near-dups =
+    signatures within small Hamming distance; see
+    ``simhash_neardup_candidates`` for the sub-quadratic block search."""
+    return _simhash_from_word_hash(
+        df,
+        id_col,
+        text_col,
+        hash_col_fn=lambda w: F.xxhash64(w),
+        bit_contrib_fn=lambda h, j: F.when(
+            F.shiftright(h, 63 - j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)),
+        n_bits=64,
+        out_col="simhash64",
+    )
 
-    def contrib_fn(j: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(F.xxhash64(x), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
 
-    bits = []
-    for j in range(64):
-        contrib = F.aggregate(w, F.lit(0), contrib_fn(j))
-        bits.append(F.when(contrib > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = F.shiftleft(sig, 1) + b
-    return df.select(F.col(id_col), sig.alias("simhash64"))
+def simhash_neardup_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash64",
+    sig_bits: int = 64,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-bucket near-dup search over SimHash signatures: split the
+    signature into ``n_blocks`` disjoint bit blocks; pairs sharing ANY
+    identical block become candidates (equi-join on (block, value) — no
+    cross product), refined by exact Hamming distance <= max_hamming
+    (bit_count of xor). Pigeonhole guarantees FULL recall whenever
+    max_hamming < n_blocks; larger distances need more blocks or
+    multi-probe."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    block_bits = sig_bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sig = F.col(sig_col)
+    blocks = sigs.select(
+        F.col(id_col).alias("id"),
+        sig.alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(sig, b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sig", F.col("bv.block").alias("block"), F.col("bv.val").alias("val"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
 
 
 def embedding_neardup_pairs(
@@ -203,10 +313,94 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    band_bits: int = 4,
+    n_bands: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
-    Brute-force self-join — the verification tier; at scale bucket first
-    (see similarity.ann_lsh_bucketed)."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
+    LSH-banded: candidates are vectors sharing at least one band signature
+    (sign bits of a disjoint dim block, similarity.sign_signature), so the
+    only join is an equi-join on (band, signature) — never a global cross
+    product. Candidates are refined with the exact cosine.
+
+    Recall depends on (threshold, band_bits, n_bands): per-bit agreement
+    for a pair at cosine t under the sign family is ~1 - arccos(t)/pi, so
+    a band collides with p = agree**band_bits and recall is
+    1 - (1 - p)**n_bands. The 4x16 default gives >0.95 recall at t >= 0.4
+    on the synthetic corpus (measured; see tests/test_domains.py); push
+    band_bits up for true near-dup thresholds (>=0.9) where selectivity
+    then becomes exponential. ``embedding_neardup_bruteforce`` is the
+    exact all-pairs verification tier.
+    """
+    # one pass: per-row norm + all band signatures (cheap, per-row only)
+    from mhealth_spark.pipelines.similarity import sign_signature
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
+    )
+    bands = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sign_signature(F.col("v"), band_bits, b * band_bits).alias(
+                            "sig"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    # exact refine: ONE fold per candidate pair (norms precomputed per row;
+    # sequential accumulation = DuckDB list_cosine_similarity parity)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_neardup_bruteforce(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs near-dup (verification tier for
+    embedding_neardup_pairs recall tests). O(n^2) — never the scale path."""
     from mhealth_spark.pipelines.similarity import cosine_expr
 
     v = df.select(

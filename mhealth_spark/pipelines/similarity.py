@@ -72,11 +72,15 @@ def ann_topk_bruteforce(
     )
 
 
-def sign_signature(vec: Column, n_bits: int = 8) -> Column:
-    """Deterministic LSH bucket: sign bits of the first n_bits dims."""
+def sign_signature(vec: Column, n_bits: int = 8, offset: int = 0) -> Column:
+    """Deterministic LSH bucket: sign bits of dims [offset+1, offset+n_bits].
+
+    ``offset`` selects a disjoint dim block, so several calls give the
+    independent band signatures used by banded near-dup search
+    (dedup.embedding_neardup_pairs)."""
     sig = F.lit(0)
     for j in range(n_bits):
-        sig = sig * 2 + F.when(F.element_at(vec, j + 1) > 0, 1).otherwise(0)
+        sig = sig * 2 + F.when(F.element_at(vec, offset + j + 1) > 0, 1).otherwise(0)
     return sig.cast("long")
 
 

@@ -146,7 +146,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM d),
+    sh0 AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM d),
+    dfreq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 20),
+    sh AS (SELECT doc_id, s FROM sh0 JOIN dfreq USING (s)),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -162,7 +164,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1, max_doc_freq=20)
     return out.select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -194,19 +196,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    # md5 tier pinned here for byte-identical DuckDB parity; the engine
+    # default (and the bench scale path) is hash_fn="xxh".
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
+
+
+_SIMHASH16_EXPR = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN "
+    f"substr(md5(x), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+    f"THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * {2 ** (15 - j)}"
+    for j in range(16)
+)
 
 
 @register(
     "dedup_simhash16",
     f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
-    SELECT doc_id, CAST({' + '.join(
-        f"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN "
-        f"substr(md5(x), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
-        f"THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) * {2 ** (15 - j)}"
-        for j in range(16)
-    )} AS BIGINT) AS simhash16
+    SELECT doc_id, CAST({_SIMHASH16_EXPR} AS BIGINT) AS simhash16
     FROM d
     """,
 )
@@ -215,23 +222,75 @@ def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 64-bit simhash (xxhash64) — Spark-only scale path → rows-only check
+# (value-checked by a brute-force pandas reimplementation in
+# tests/test_domains.py using Spark-computed word hashes)
 @register("dedup_simhash64")
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
 @register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id, CAST({_SIMHASH16_EXPR} AS BIGINT) AS sig FROM d),
+    blocks AS (
+      SELECT doc_id, sig, b.block, (sig >> (b.block * 4)) & 15 AS val
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS block) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.block = b.block AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 1
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.simhash16(_docs(spark, sf_dir))
+    out = dedup.simhash_neardup_candidates(
+        sigs, sig_col="simhash16", sig_bits=16, n_blocks=4, max_hamming=1
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _band_sig_sql(band: int, band_bits: int = 4) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{band * band_bits + j + 1}] > 0 THEN 1 ELSE 0 END)"
+        f" * {2 ** (band_bits - 1 - j)}"
+        for j in range(band_bits)
+    ]
+    return " + ".join(terms)
+
+
+_EMB_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM embeddings"
+    for b in range(16)
+)
+
+
+@register(
     "dedup_embedding_cosine",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    f"""
+    WITH bands AS ({_EMB_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    out = dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, band_bits=4, n_bands=16
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

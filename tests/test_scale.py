@@ -110,7 +110,9 @@ def test_tokens_engine_row_features_passthrough_and_no_leakage(spark):
     for _, r in pdf.sample(50, random_state=0).iterrows():
         assert list(r["tokens"]) == list(src[r["doc_id"]])
     # rolling windows use strictly past rows: first row per entity has none
-    firsts = pdf.sort_values(["source", "ts", "doc_id"]).groupby("source").head(1)
+    firsts = (
+        pdf.sort_values(["writer_id", "ts", "doc_id"]).groupby("writer_id").head(1)
+    )
     assert firsts["roll_count"].fillna(0).eq(0).all()
     assert firsts["prev_n_tok"].isna().all()
 
