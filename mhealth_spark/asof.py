@@ -214,15 +214,34 @@ def interval_join(
     if how == "inner":
         extra = [F.col(f"q.{c}") for c in (period_cols or [])]
         pcols = [F.col(f"p.{c}") for c in points.columns]
-        # buckets overlap-count once per (point, period) pair even when a
-        # period spans several buckets: dedup on the pair identity
+        # A period spanning several buckets matches the same point once per
+        # bucket: dedup on the (point, period) pair identity. The period
+        # identity is a per-ROW id attached BEFORE bucket explosion
+        # (nondeterministic expr = reorder barrier, so every bucket copy
+        # carries the same id) — NOT the period's start value, which would
+        # collapse two distinct overlapping periods that happen to share a
+        # start and the selected columns (reference concat semantics keep
+        # both, simple_features.py:853-873).
+        per_id = _bucketize_periods(
+            periods.withColumn("_pid", F.monotonically_increasing_id()).alias("q"),
+            entity_col,
+            period_start,
+            period_end,
+            bucket_seconds,
+        )
+        cond_id = (
+            (F.col(f"p.{entity_col}") == F.col(f"q.{entity_col}"))
+            & (p["_b"] == per_id["_b"])
+            & (F.col(f"p.{point_ts}") >= F.col(f"q.{period_start}"))
+            & (F.col(f"p.{point_ts}") <= F.col(f"q.{period_end}"))
+        )
         out = (
-            p.join(per, cond, "inner")
-            .select(*pcols, *extra, F.col(f"q.{period_start}").alias("_ps"))
+            p.join(per_id, cond_id, "inner")
+            .select(*pcols, *extra, F.col("q._pid").alias("_pid"))
             .dropDuplicates(
-                points.columns + [c for c in (period_cols or [])] + ["_ps"]
+                points.columns + [c for c in (period_cols or [])] + ["_pid"]
             )
-            .drop("_ps")
+            .drop("_pid")
         )
         return out
     raise ValueError(f"unknown how={how!r}")

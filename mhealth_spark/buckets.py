@@ -93,31 +93,7 @@ def duration_minutes(start_col: str = "local_start", end_col: str = "local_end")
         (F.unix_micros(F.col(end_col).cast("timestamp"))
          - F.unix_micros(F.col(start_col).cast("timestamp"))) / 6e7
     )
-
-
-def coverage_percent(
-    df: DataFrame,
-    origin,
-    end,
-    entity_col: str = "user_id",
-    ts_col: str = "local_start",
-) -> DataFrame:
-    """R6: % of hourly bins in [origin, end] containing >=1 row.
-
-    Denominator = ceil((end-origin)/1h)+1 — a driver-side constant per
-    request window, matching the reference's ``date_range`` count
-    (simple_features.py:171-203).
-    """
-    import math
-
-    n_bins = math.ceil((end - origin).total_seconds() / 3600) + 1
-    return (
-        df.filter(F.col(ts_col).between(F.lit(origin), F.lit(end)))
-        .groupBy(entity_col)
-        .agg(
-            (100.0 * F.count_distinct(F.date_trunc("HOUR", F.col(ts_col))) / n_bins)
-            .alias("watch_on_percent"),
-            (F.count_distinct(F.date_trunc("HOUR", F.col(ts_col))).cast("double"))
-            .alias("watch_on_hours"),
-        )
-    )
+# NB: the old coverage_percent helper was removed — it was unused, and its
+# ceil(...)+1 denominator disagreed with watch_on_stats' floor(...)+1 (the
+# one matching the reference's pandas date_range counting). R6 coverage
+# lives in watch.watch_on_stats.

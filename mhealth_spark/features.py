@@ -66,6 +66,46 @@ ACTIVITY_TYPES_E1 = [
 ]
 
 
+def calc_start_stop(ts, duration):
+    """F2 window bounds (simple_features.py:102-142 ``calcStartStop``),
+    as a pair of Columns from a request-timestamp Column.
+
+    ``duration`` may be:
+    - a number → hours of lookback: [ts − duration, ts];
+    - a pandas-Timedelta string ("1d", "36h") → same, parsed driver-side;
+    - ``"today"`` → the calendar day of ts, [midnight, midnight+1d),
+      EXCEPT before 4am, where it shifts back to the previous day
+      (EMA responses shortly after midnight refer to the prior day);
+    - ``"yesterday"`` → the previous calendar day. (Before 4am this
+      coincides with "today" — reference quirk preserved: its hour<4
+      branch overwrites start with the same previous-day value.)
+
+    Note the calendar windows may END AFTER ts (end = day start + 1d):
+    events later the same day are included, exactly like the reference.
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    t = t.cast("timestamp")
+    if duration in ("today", "yesterday"):
+        day = F.to_date(t)
+        if duration == "today":
+            day = F.when(F.hour(t) < 4, F.date_sub(F.to_date(t), 1)).otherwise(day)
+        else:
+            day = F.date_sub(F.to_date(t), 1)
+        start = day.cast("timestamp").cast("timestamp_ntz")
+        end = F.date_add(day, 1).cast("timestamp").cast("timestamp_ntz")
+        return start, end
+    if isinstance(duration, str):
+        import pandas as pd
+
+        hours = pd.Timedelta(duration).total_seconds() / 3600.0
+    else:
+        hours = float(duration)
+    start = F.timestamp_micros(
+        F.unix_micros(t) - int(hours * 3.6e9)
+    ).cast("timestamp_ntz")
+    return start, t.cast("timestamp_ntz")
+
+
 def slice_requests(
     hk: DataFrame,
     requests: DataFrame,
@@ -73,18 +113,30 @@ def slice_requests(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     lookback_col: str = "lookback_hours",
+    duration=None,
 ) -> DataFrame:
     """F3 slice join (simple_features.py:145-168): per request, keep events
-    whose start OR end lies in [ts − lookback, ts]. Result = the HK frame
-    with the request id in the user_id slot plus window-bound columns."""
+    whose start OR end lies in [window start, window end]. Result = the HK
+    frame with the request id in the user_id slot plus window-bound columns.
+
+    The window is [ts − lookback_hours, ts] from ``lookback_col`` by
+    default; passing ``duration`` ("today"/"yesterday"/Timedelta string/
+    hours, applied to every request) routes through ``calc_start_stop``
+    instead — F2's duration-literal semantics incl. the before-4am
+    shift-back."""
+    if duration is not None:
+        wstart, wend = calc_start_stop(F.col(ts_col), duration)
+    else:
+        wstart = F.timestamp_micros(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - (F.col(lookback_col) * 3.6e9).cast("long")
+        ).cast("timestamp_ntz")
+        wend = F.col(ts_col)
     r = requests.select(
         F.col(request_id).cast("string").alias("_rid"),
         F.col(entity_col).alias("_ruid"),
-        F.col(ts_col).alias("_wend"),
-        F.timestamp_micros(
-            F.unix_micros(F.col(ts_col).cast("timestamp"))
-            - (F.col(lookback_col) * 3.6e9).cast("long")
-        ).cast("timestamp_ntz").alias("_wstart"),
+        wend.alias("_wend"),
+        wstart.alias("_wstart"),
     )
     e = hk.alias("e")
     cond = (F.col(f"e.{entity_col}") == F.col("_ruid")) & (

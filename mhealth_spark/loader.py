@@ -26,14 +26,124 @@ def load_data(spark: SparkSession, path: str, default_tz: str = "UTC") -> DataFr
     (dataloader.py:18-88)."""
     if path.endswith(".csv"):
         df = load_csv(spark, path)
-    elif path.endswith(".parquet") or not path.endswith(".xml"):
-        df = spark.read.parquet(path)
-    else:
-        raise NotImplementedError(
-            "XML export parsing needs spark-xml on the cluster; "
-            "convert to parquet/CSV for this environment"
+    elif path.endswith(".xml"):
+        df = add_local_time(
+            load_healthkit_xml(spark, path),
+            ts_col="utc_start",
+            end_col="utc_end",
+            default_tz=default_tz,
         )
+    else:
+        df = spark.read.parquet(path)
     return normalize_events(df, default_tz=default_tz)
+
+
+_XML_RECORD_FIELDS = [
+    ("type", "string"),
+    ("value", "string"),
+    ("unit", "string"),
+    ("sourceName", "string"),
+    ("device", "string"),
+    ("startDate", "string"),
+    ("endDate", "string"),
+    ("creationDate", "string"),
+    ("metadata", "map<string,string>"),
+]
+
+
+def load_healthkit_xml(
+    spark: SparkSession, path: str, user_id: str = "anon"
+) -> DataFrame:
+    """S3: HealthKit XML export ingest (dataloader.py:126-168
+    ``loadHealthKitXML``) without any spark-xml jar: ``binaryFile`` scan →
+    Arrow-batched ``mapInPandas`` running a streaming ElementTree
+    ``iterparse`` (elements cleared as consumed, so memory stays bounded
+    per file, not per export). Parallelism is per FILE — one export per
+    user is the natural sharding at scale; a single multi-GB export is
+    one task, exactly like the reference's single-process parse but
+    without pinning the whole record list in RAM.
+
+    Parity with the reference parse: Record attributes + flattened
+    MetadataEntry children (kept as a map instead of dynamic columns),
+    HK type-prefix strip + SleepAnalysis value-prefix strip, constant
+    ``quantity_count=1``, device name extraction, injected ``user_id``.
+    Timestamps like ``2023-10-01 08:30:00 -0700`` are parsed JVM-side to
+    true instants (``utc_start``/``utc_end``) and the export's own UTC
+    offset is kept as ``timezone`` (e.g. ``-07:00``) for add_local_time.
+    """
+    import pandas as pd
+
+    schema = ", ".join(f"`{n}` {t}" for n, t in _XML_RECORD_FIELDS)
+    names = [n for n, _ in _XML_RECORD_FIELDS]
+
+    def parse(batches):
+        import io
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = []
+                # iterparse + clear: stream the export, never hold the tree
+                for _, elem in ET.iterparse(io.BytesIO(bytes(content))):
+                    if elem.tag != "Record":
+                        continue
+                    a = elem.attrib
+                    md = {
+                        m.attrib.get("key"): m.attrib.get("value")
+                        for m in elem.iter("MetadataEntry")
+                    }
+                    rows.append(
+                        (
+                            a.get("type"),
+                            a.get("value"),
+                            a.get("unit"),
+                            a.get("sourceName"),
+                            a.get("device"),
+                            a.get("startDate"),
+                            a.get("endDate"),
+                            a.get("creationDate"),
+                            md or None,
+                        )
+                    )
+                    elem.clear()
+                yield pd.DataFrame(rows, columns=names)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(parse, schema=schema)
+    )
+
+    def ts(col: str):
+        # '2023-10-01 08:30:00 -0700' → instant → UTC wall time (ntz)
+        return F.to_utc_timestamp(
+            F.to_timestamp(F.col(col), "yyyy-MM-dd HH:mm:ss XX"),
+            spark.conf.get("spark.sql.session.timeZone"),
+        ).cast("timestamp_ntz")
+
+    sleep_val = F.when(
+        F.col("type") == "HKCategoryTypeIdentifierSleepAnalysis",
+        F.regexp_replace("value", "HKCategoryValueSleepAnalysis", ""),
+    ).otherwise(F.col("value"))
+    offset = F.regexp_extract("startDate", r"([+-]\d{2})(\d{2})$", 1)
+    minutes = F.regexp_extract("startDate", r"([+-]\d{2})(\d{2})$", 2)
+    return raw.select(
+        F.lit(user_id).alias("user_id"),
+        F.col("type"),
+        sleep_val.alias("value"),
+        "unit",
+        F.col("sourceName").alias("source_name"),
+        parse_device_name(F.col("device")).alias("device_name"),
+        F.lit(1).alias("quantity_count"),
+        ts("startDate").alias("utc_start"),
+        ts("endDate").alias("utc_end"),
+        ts("creationDate").alias("utc_creation"),
+        F.when(
+            offset != "", F.concat(offset, F.lit(":"), minutes)
+        ).alias("timezone"),
+        "metadata",
+    )
 
 
 def load_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -76,11 +186,12 @@ def normalize_events(df: DataFrame, default_tz: str = "UTC") -> DataFrame:
     t = F.col("type")
     for p in TYPE_PREFIXES:
         t = F.regexp_replace(t, p, "")
-    # snake_case → CamelCase: split on _, initcap each, join
-    t = F.concat_ws(
-        "", F.transform(F.split(t, "_"), lambda w: F.initcap(w))
-    )
-    df = df.withColumn("type", t)
+    # snake_case → CamelCase only when there IS a snake: initcap lowercases
+    # the tail of each word, so applying it to an already-CamelCase type
+    # (the XML path after prefix strip) would mangle it (HeartRate →
+    # Heartrate)
+    camel = F.concat_ws("", F.transform(F.split(t, "_"), lambda w: F.initcap(w)))
+    df = df.withColumn("type", F.when(t.contains("_"), camel).otherwise(t))
     if "value" in df.columns:
         df = df.withColumn("value", F.col("value").cast("string")).withColumn(
             "value_num", F.expr("try_cast(value AS double)")
@@ -95,13 +206,24 @@ def add_local_time(
     df: DataFrame,
     ts_col: str = "utc_start",
     default_tz: str = "UTC",
+    end_col: str | None = None,
 ) -> DataFrame:
     """S5/J4 (dataloader.py:178-229): per-day dominant timezone,
     nearest-filled across days, then vectorized UTC→local conversion.
 
     One window pass for the dominant tz (mode per user-day), the J4
     nearest as-of fill for gap days, then ``from_utc_timestamp`` — no
-    per-row Python anywhere.
+    per-row Python anywhere. ``end_col`` additionally emits ``local_end``
+    converted with the SAME per-day timezone as the start (the reference
+    converts startDate and endDate with one tz per row,
+    dataloader.py:216-227), so intervals can't straddle two zones.
+
+    Known deliberate divergence: the reference picks the FIRST distinct
+    tz string observed in a day (dataloader.py:197, order-dependent on
+    input row order); this engine picks the day's MODE (count-desc,
+    name-asc tie-break) — deterministic under any partitioning, which
+    first-observed is not in a distributed read. Same value whenever a
+    day has a single tz (the overwhelmingly common case).
     """
     with_day = df.withColumn("_d", F.to_date(ts_col))
     mode_tz = (
@@ -128,7 +250,10 @@ def add_local_time(
         .withColumn("timezone", F.coalesce("_tz", F.lit(default_tz)))
         .drop("_tz", "_d")
     )
-    for c_src, c_dst in [(ts_col, "local_start")]:
+    pairs = [(ts_col, "local_start")]
+    if end_col is not None:
+        pairs.append((end_col, "local_end"))
+    for c_src, c_dst in pairs:
         out = out.withColumn(
             c_dst,
             F.from_utc_timestamp(F.col(c_src).cast("timestamp"), F.col("timezone"))

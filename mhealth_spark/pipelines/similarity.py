@@ -84,6 +84,90 @@ def sign_signature(vec: Column, n_bits: int = 8, offset: int = 0) -> Column:
     return sig.cast("long")
 
 
+def _table_signatures(vec: Column, band_bits: int, n_tables: int, probe_hamming: int):
+    """Array of (table, sig) probe structs: per table t, the sign signature
+    of dim block t, plus (probe_hamming=1) every single-bit flip of it —
+    classic multi-probe, trading join fan-out for extra hash tables."""
+    entries = []
+    for t in range(n_tables):
+        sig = sign_signature(vec, band_bits, t * band_bits)
+        probes = [sig]
+        if probe_hamming >= 1:
+            probes += [
+                sig.bitwiseXOR(F.lit(1 << j)) for j in range(band_bits)
+            ]
+        entries += [
+            F.struct(F.lit(t).alias("t"), pr.alias("sig")) for pr in probes
+        ]
+    return F.array(*entries)
+
+
+def ann_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    band_bits: int = 4,
+    n_tables: int = 16,
+    probe_hamming: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k with MULTIPLE hash tables (disjoint sign-bit dim
+    blocks) and optional 1-bit multi-probe: a corpus vector is a candidate
+    if it shares ANY (table, signature) bucket with the query (or one of
+    its probes). All joins are equi on (table, sig); candidates are
+    deduped before exact scoring.
+
+    Recall grows as 1-(1-p^band_bits)^n_tables per neighbor at per-bit
+    agreement p — tune (band_bits, n_tables, probe_hamming) to the
+    similarity regime. The 4x16 default measures recall@5 >= 0.9 on the
+    synthetic corpus, whose true neighbors sit at cosine ~0.4 where LSH
+    pruning is intrinsically weak (see tests/test_domains.py); at true
+    near-dup similarity the same structure prunes exponentially harder.
+    """
+    c = _as_double(corpus, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    c_tab = c.select(
+        F.col(id_col).alias("nid"),
+        F.explode(
+            _table_signatures(F.col("v"), band_bits, n_tables, 0)
+        ).alias("ts"),
+    ).select("nid", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    q_tab = q.select(
+        F.col(query_id_col),
+        F.explode(
+            _table_signatures(F.col("qv"), band_bits, n_tables, probe_hamming)
+        ).alias("ts"),
+    ).select(query_id_col, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    cand = (
+        q_tab.join(c_tab, ["t", "sig"])
+        .filter(F.col(query_id_col) != F.col("nid"))
+        .select(query_id_col, "nid")
+        .distinct()
+    )
+    scored = (
+        cand.join(q, query_id_col)
+        .join(c.select(F.col(id_col).alias("nid"), F.col("v")), "nid")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            cosine_expr(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_bucketed(
     corpus: DataFrame,
     queries: DataFrame,

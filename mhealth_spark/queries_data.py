@@ -373,6 +373,47 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH bands AS ({_EMB_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bands qb JOIN bands cb
+        ON qb.band = cb.band AND qb.sig = cb.sig AND cb.vec_id <> qb.vec_id
+      WHERE qb.vec_id < 50),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.embedding::DOUBLE[],
+                                    ec.embedding::DOUBLE[]) AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings ec ON ec.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 9) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_lsh_multiprobe(
+        emb, queries, k=5, band_bits=4, n_tables=16, probe_hamming=0
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -438,39 +479,173 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# North-rule tokens engine (deterministic synthetic input; xxhash64-based
-# generation is not reproducible in DuckDB → rows-only checks)
+# North-rule tokens engine. The deterministic synthetic table is
+# materialized to parquet ONCE (synth.materialize_synth_tokens) and BOTH
+# engines read that file, so every window/as-of/session query gets a full
+# value-level DuckDB oracle (the xxhash64 generator itself has no DuckDB
+# twin, but the materialized bytes are engine-neutral).
 # ---------------------------------------------------------------------------
+_TOKENS_PARQUET = "/root/repo/.synth_cache/tokens_n3000_seed42.parquet"
+_TOKENS_DUCK = f"read_parquet('{_TOKENS_PARQUET}/*.parquet')"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
 def _tokens(spark: SparkSession, n: int = 3000) -> DataFrame:
-    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.synth import materialize_synth_tokens
 
-    return synth_tokens(spark, n, seed=42)
+    return spark.read.parquet(materialize_synth_tokens(spark, n, seed=42))
 
 
-@register("tokens_row_features")
+@register(
+    "tokens_row_features",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok FROM {_TOKENS_DUCK})
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           lag(n_tok)  OVER w AS prev_n_tok,
+           lead(n_tok) OVER w AS next_n_tok,
+           n_tok - lag(n_tok) OVER w AS delta_n_tok,
+           round(avg(n_tok) OVER wb, 6) AS roll_mean_n_tok,
+           CAST(sum(n_tok) OVER wb AS BIGINT) AS roll_sum_n_tok,
+           CAST(count(n_tok) OVER wb AS BIGINT) AS roll_count,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM t
+    WINDOW w  AS (PARTITION BY writer_id ORDER BY ts, doc_id),
+           wb AS (PARTITION BY writer_id ORDER BY ts, doc_id
+                  ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    """,
+)
 def tokens_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import row_features
 
-    return row_features(_tokens(spark)).drop("tokens")
+    out = row_features(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        "prev_n_tok",
+        "next_n_tok",
+        "delta_n_tok",
+        F.round("roll_mean_n_tok", 6).alias("roll_mean_n_tok"),
+        "roll_sum_n_tok",
+        "roll_count",
+        "gap_us",
+    )
 
 
-@register("tokens_backfill_24h")
+@register(
+    "tokens_backfill_24h",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
+                    date_trunc('hour', max(ts)) AS t1
+             FROM t GROUP BY 1),
+    r AS (SELECT source, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM span)
+    SELECT r.source AS source, strftime(r.ts, '{_TS_FMT_DUCK}') AS req_ts,
+           count(e.n_tok)                 AS docs_24h,
+           CAST(sum(e.n_tok) AS BIGINT)   AS tokens_24h,
+           round(avg(e.n_tok), 6)         AS mean_len_24h,
+           max(e.n_tok)                   AS max_len_24h
+    FROM r LEFT JOIN t e
+      ON e.source = r.source
+     AND e.ts <= r.ts
+     AND epoch(e.ts) > epoch(r.ts) - 86400
+    GROUP BY 1, 2
+    """,
+)
 def tokens_backfill_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import backfill_features, hourly_requests
 
     tk = _tokens(spark)
-    return backfill_features(tk, hourly_requests(tk))
+    out = backfill_features(tk, hourly_requests(tk))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_24h",
+        "tokens_24h",
+        F.round("mean_len_24h", 6).alias("mean_len_24h"),
+        "max_len_24h",
+    )
 
 
-@register("tokens_sessionize")
+@register(
+    "tokens_sessionize",
+    f"""
+    WITH t AS (SELECT writer_id, ts, n_tok FROM {_TOKENS_DUCK}),
+    o AS (SELECT writer_id, ts, n_tok,
+                 max(ts) OVER (PARTITION BY writer_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM t),
+    b AS (SELECT writer_id, ts, n_tok,
+                 CASE WHEN prev_max IS NULL
+                           OR (epoch_us(ts) - epoch_us(prev_max)) / 60000000.0
+                              > 120.0 THEN 1
+                      ELSE 0 END AS brk
+          FROM o),
+    s AS (SELECT writer_id, ts, n_tok,
+                 CAST(sum(brk) OVER (PARTITION BY writer_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
+          FROM b)
+    SELECT writer_id, session_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS session_tokens,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+)
 def tokens_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import sessionized
 
-    return sessionized(_tokens(spark), gap_minutes=120.0)
+    out = sessionized(_tokens(spark), gap_minutes=120.0)
+    return out.select(
+        "writer_id",
+        "session_id",
+        "n_docs",
+        "session_tokens",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+    )
 
 
-@register("tokens_sequence_features")
+# fingerprint64 is an xxhash64 rolling chain (no DuckDB twin) — it is
+# value-checked by a brute-force pytest instead; every other output
+# column is oracle-checked here.
+@register(
+    "tokens_sequence_features",
+    f"""
+    WITH t AS (SELECT * FROM {_TOKENS_DUCK})
+    SELECT doc_id, writer_id, source, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+           n_tok,
+           round(list_sum(tokens) * 1.0 / len(tokens), 6) AS tok_mean,
+           round(sqrt(list_sum(list_transform(tokens,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / len(tokens)
+                 - (list_sum(tokens) * 1.0 / len(tokens))
+                   * (list_sum(tokens) * 1.0 / len(tokens))), 6) AS tok_std,
+           list_min(tokens) AS tok_min,
+           list_max(tokens) AS tok_max,
+           round(len(list_distinct(tokens)) * 1.0 / len(tokens), 6)
+               AS distinct_ratio
+    FROM t
+    """,
+)
 def tokens_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import sequence_features
 
-    return sequence_features(_tokens(spark))
+    out = sequence_features(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        F.round("tok_mean", 6).alias("tok_mean"),
+        F.round("tok_std", 6).alias("tok_std"),
+        "tok_min",
+        "tok_max",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+    )

@@ -180,20 +180,43 @@ def daily_sleep_features(hk: DataFrame, qc: bool = True) -> DataFrame:
         ).otherwise(F.col("bedrestOffset")),
     )
 
-    # --- per-night vitals medians (A4): interval join nights × samples ---
+    # --- per-night vitals medians (A4): bucketized interval join nights ×
+    # samples — the equi-join key is (user_id, time bucket) with the range
+    # predicate inside the join condition, so no per-user nights×samples
+    # cross product ever forms (the asof.interval_join shape; each
+    # (sample, night) pair matches exactly once, in the sample's bucket).
     def night_median(types_col, lo, hi, out):
+        from mhealth_spark.asof import DEFAULT_BUCKET_SECONDS, _epoch
+
+        bucket_s = DEFAULT_BUCKET_SECONDS
         samples = (
             hk.filter(F.col("type") == types_col)
             .select(
-                "user_id",
+                F.col("user_id").alias("_suid"),
                 F.col("local_start").alias("_ts"),
                 F.col("value_num").alias("_v"),
             )
+            .withColumn("_b", F.floor(_epoch(F.col("_ts")) / bucket_s))
         )
-        nights = df.select("user_id", "bin", F.col(lo).alias("_lo"), F.col(hi).alias("_hi"))
+        nights = df.select(
+            "user_id", "bin", F.col(lo).alias("_lo"), F.col(hi).alias("_hi")
+        ).withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(_epoch(F.col("_lo")) / bucket_s),
+                    F.floor(_epoch(F.col("_hi")) / bucket_s),
+                )
+            ),
+        )
         med = (
-            nights.join(samples, "user_id")
-            .filter((F.col("_ts") >= F.col("_lo")) & (F.col("_ts") <= F.col("_hi")))
+            nights.join(
+                samples,
+                (F.col("user_id") == F.col("_suid"))
+                & (nights["_b"] == samples["_b"])
+                & (F.col("_ts") >= F.col("_lo"))
+                & (F.col("_ts") <= F.col("_hi")),
+            )
             .groupBy("user_id", "bin")
             .agg(F.median("_v").alias(out))
         )

@@ -88,6 +88,38 @@ def synth_tokens(
     )
 
 
+TOKENS_CACHE_DIR = "/root/repo/.synth_cache"
+
+
+def materialize_synth_tokens(
+    spark: SparkSession,
+    n_docs: int = 3000,
+    seed: int = 42,
+    cache_dir: str = TOKENS_CACHE_DIR,
+) -> str:
+    """Write ``synth_tokens(n_docs, seed)`` to parquet once (atomic rename)
+    and return the directory path. Both the Spark queries and their DuckDB
+    oracles read THIS file, so the window/as-of feature queries over the
+    tokens table get full value-level oracle checks instead of rows-only
+    (the xxhash64 generator itself has no DuckDB equivalent)."""
+    import os
+
+    path = os.path.join(cache_dir, f"tokens_n{n_docs}_seed{seed}.parquet")
+    if not os.path.isdir(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}"
+        synth_tokens(spark, n_docs, seed=seed).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost a concurrent race; the winner's file is fine
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def synth_healthkit(
     n_users: int = 4,
     days: int = 7,

@@ -33,28 +33,85 @@ def row_features(
     entity_col: str = "writer_id",
     ts_col: str = "ts",
     lookback_rows: int = 10,
-    pre_layout: bool = False,
+    payload_join: bool = True,
 ) -> DataFrame:
     """Per-row lag/lead + bounded rolling features; tokens untouched.
 
-    The Window performs the single (entity) hash exchange itself;
-    ``pre_layout=True`` adds the engine's range layout first — useful
-    only when several downstream ops will reuse it (it would otherwise
-    DOUBLE the shuffle of the heavy token payload).
+    Scale shape (``payload_join=True``, default): the window runs over the
+    NARROW projection ``(doc_id, entity, ts, n_tok)`` — the ~2 KB token
+    payload never enters the window's hash exchange (which is skewed: a
+    heavy writer pins one reducer) and is never sorted. The payload is
+    equi-joined back on ``doc_id``, a UNIFORM key AQE can split freely,
+    with a shuffled-hash hint on the narrow build side so the payload is
+    streamed, not sorted. Net payload movement is one skew-free shuffle
+    instead of one skewed shuffle + sort.
+
+    ``payload_join=False`` is the one-exchange fallback for inputs already
+    small or already laid out by (entity, ts) (layout_events with hash
+    partitioning), where the window adds no exchange at all.
     """
-    df = (
-        layout_events(tokens, entity_col=entity_col, ts_col=ts_col)
-        if pre_layout
-        else tokens
-    )
-    w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
-    wb = w.rowsBetween(-lookback_rows, -1)  # strictly past rows: no leakage
-    n = F.col("n_tok")
-    return df.select(
+    if not payload_join:
+        w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
+        wb = w.rowsBetween(-lookback_rows, -1)
+        n = F.col("n_tok")
+        return tokens.select(
+            "doc_id",
+            entity_col,
+            ts_col,
+            "tokens",
+            "n_tok",
+            F.lag(n).over(w).alias("prev_n_tok"),
+            F.lead(n).over(w).alias("next_n_tok"),
+            (n - F.lag(n).over(w)).alias("delta_n_tok"),
+            F.avg(n).over(wb).alias("roll_mean_n_tok"),
+            F.sum(n).over(wb).alias("roll_sum_n_tok"),
+            F.count(n).over(wb).alias("roll_count"),
+            (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    features = feature_vectors(tokens, entity_col, ts_col, lookback_rows)
+    payload = tokens.select("doc_id", "tokens")
+    joined = payload.join(features.hint("SHUFFLE_HASH"), "doc_id")
+    return joined.select(
         "doc_id",
         entity_col,
         ts_col,
         "tokens",  # pass-through, byte-identical
+        "n_tok",
+        "prev_n_tok",
+        "next_n_tok",
+        "delta_n_tok",
+        "roll_mean_n_tok",
+        "roll_sum_n_tok",
+        "roll_count",
+        "gap_us",
+    )
+
+
+def feature_vectors(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_rows: int = 10,
+) -> DataFrame:
+    """The NARROW feature-vector tier: per-(entity, ts) lag/lead/delta and
+    bounded rolling aggregates over ``(doc_id, entity, ts, n_tok)`` only.
+
+    This is the engine's window workhorse: reading it straight off parquet
+    scans FOUR columns — column pruning never touches the token arrays —
+    so the exchange and sort move ~40 B/row regardless of payload width.
+    ``row_features`` composes this with the payload pass-through join.
+    """
+    narrow = tokens.select("doc_id", entity_col, ts_col, "n_tok")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
+    wb = w.rowsBetween(-lookback_rows, -1)  # strictly past rows: no leakage
+    n = F.col("n_tok")
+    return narrow.select(
+        "doc_id",
+        entity_col,
+        ts_col,
         "n_tok",
         F.lag(n).over(w).alias("prev_n_tok"),
         F.lead(n).over(w).alias("next_n_tok"),

@@ -179,3 +179,127 @@ def test_watch_on_hours_daily(spark):
     out = watch_on_hours_daily(df).toPandas().sort_values("date")
     assert len(out) == 2
     assert list(out["watchOnHours_sum_day"]) == [1.0, 1.0]
+
+
+# --- training-data pipeline verification tiers ------------------------------
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_ann_multiprobe_recall_vs_bruteforce(spark):
+    """Measured recall@5 of the multi-table LSH path vs the exact
+    brute-force tier on the real embeddings table: >= 0.9 (the data's true
+    neighbors sit at cosine ~0.4 — the hardest regime for LSH)."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_lsh_multiprobe,
+        ann_topk_bruteforce,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann_topk_bruteforce(emb, queries, k=5).toPandas()
+    approx = ann_lsh_multiprobe(
+        emb, queries, k=5, band_bits=4, n_tables=16, probe_hamming=0
+    ).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index
+    ]
+    assert np.mean(recalls) >= 0.9, f"recall={np.mean(recalls):.3f}"
+
+
+def test_embedding_neardup_lsh_recall_vs_bruteforce(spark):
+    """The banded near-dup path vs the exact all-pairs tier: measured pair
+    recall >= 0.9 at threshold 0.4 with the 4x16 default bands."""
+    from mhealth_spark.pipelines.dedup import (
+        embedding_neardup_bruteforce,
+        embedding_neardup_pairs,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    exact = embedding_neardup_bruteforce(emb, threshold=0.4).toPandas()
+    lsh = embedding_neardup_pairs(emb, threshold=0.4).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+    assert lsh_pairs <= exact_pairs  # exact refine: no false positives
+    assert len(lsh_pairs & exact_pairs) / len(exact_pairs) >= 0.9
+
+
+def test_simhash64_bruteforce_values(spark):
+    """Value check for the xxhash64 simhash (no DuckDB twin): recompute the
+    signature in pandas from Spark-computed per-word hashes and compare
+    exactly — validates the explode/groupBy bit-aggregation logic."""
+    from mhealth_spark.pipelines.dedup import simhash64
+    from mhealth_spark.pipelines.text import words_col
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).limit(120).cache()
+    got = simhash64(docs).toPandas().set_index("doc_id")["simhash64"]
+    wh = (
+        docs.select(F.col("doc_id"), F.explode(words_col("text")).alias("w"))
+        .select("doc_id", F.xxhash64("w").alias("h"))
+        .toPandas()
+    )
+    all_ids = docs.select("doc_id").toPandas()["doc_id"]
+    for doc_id in all_ids:
+        hs = wh[wh.doc_id == doc_id]["h"].to_numpy()
+        sig = 0
+        for j in range(64):  # j=0 is the MSB (hash bit 63)
+            contrib = sum(1 if (int(h) >> (63 - j)) & 1 else -1 for h in hs)
+            sig = (sig << 1) | (1 if contrib > 0 else 0)
+        # numpy/python int is unbounded; Spark long wraps at 2^63
+        if sig >= 2 ** 63:
+            sig -= 2 ** 64
+        assert got[doc_id] == sig, doc_id
+
+
+def test_simhash_hamming_candidates_recall_guarantee(spark):
+    """Pigeonhole property: with 4 blocks, EVERY pair within Hamming<=3 of
+    each other is found (compare against a brute-force pair scan)."""
+    from mhealth_spark.pipelines.dedup import simhash16, simhash_neardup_candidates
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).limit(150)
+    sigs = simhash16(docs).cache()
+    got = simhash_neardup_candidates(
+        sigs, sig_col="simhash16", sig_bits=16, n_blocks=4, max_hamming=3
+    ).toPandas()
+    pdf = sigs.toPandas()
+    want = set()
+    vals = list(zip(pdf.doc_id, pdf.simhash16))
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = sorted([vals[i], vals[j]], key=lambda t: t[0])
+            if bin(int(a[1]) ^ int(b[1])).count("1") <= 3:
+                want.add((a[0], b[0], bin(int(a[1]) ^ int(b[1])).count("1")))
+    assert set(zip(got.id_a, got.id_b, got.hamming)) == want
+
+
+def test_multimodal_decode_values_exact(spark):
+    """Value check for the fake-decode path: recompute the feature vector
+    independently in numpy from the same utf-8 bytes and compare exactly
+    (validates batch shapes, ordering, and the byte->feature contract)."""
+    from mhealth_spark.pipelines.multimodal import decode_features, wrap_as_media
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).limit(100)
+    media = wrap_as_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    got = (
+        decode_features(media, strict=False, dim=8)
+        .toPandas()
+        .set_index("media_id")
+    )
+    texts = docs.toPandas().set_index("doc_id")["text"]
+    for doc_id, text in texts.items():
+        payload = text.encode("utf-8")
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        exp = np.array(
+            [c.mean() / 255.0 if len(c) else 0.0 for c in np.array_split(arr, 8)],
+            dtype=np.float32,
+        )
+        np.testing.assert_array_equal(
+            np.array(got.loc[str(doc_id), "feature"], dtype=np.float32), exp
+        )
+        assert got.loc[str(doc_id), "n_bytes"] == len(payload)

@@ -113,3 +113,73 @@ def test_collect_all_daily_features(spark):
         spark.createDataFrame(out.where(pd.notnull(out), None))
     ).toPandas()
     assert len(masked) == len(out)
+
+
+def test_calc_start_stop_duration_literals(spark):
+    """F2 golden (reference simple_features.py:102-142): 'today'/'yesterday'
+    duration literals incl. the before-4am shift-back, on both sides of 4am.
+    Expected values hand-derived from the reference's calcStartStop:
+      today  @03:59 -> [prev midnight-1d, prev midnight)  (shift-back)
+      today  @04:01 -> [same-day midnight, next midnight)
+      yesterday at ANY hour -> previous day (the reference's hour<4 branch
+      overwrites start with the same value, so no behavioural change).
+    """
+    from pyspark.sql import functions as F
+
+    from mhealth_spark.features import calc_start_stop
+
+    pdf = pd.DataFrame(
+        {
+            "rid": ["a", "b"],
+            "ts": pd.to_datetime(["2024-01-05 03:59:00", "2024-01-05 04:01:00"]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def got(duration):
+        s, e = calc_start_stop(F.col("ts"), duration)
+        out = (
+            df.select("rid", s.alias("s"), e.alias("e"))
+            .orderBy("rid")
+            .toPandas()
+        )
+        return [(str(r.s), str(r.e)) for r in out.itertuples()]
+
+    assert got("today") == [
+        ("2024-01-04 00:00:00", "2024-01-05 00:00:00"),
+        ("2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+    ]
+    assert got("yesterday") == [
+        ("2024-01-04 00:00:00", "2024-01-05 00:00:00"),
+        ("2024-01-04 00:00:00", "2024-01-05 00:00:00"),
+    ]
+    # Timedelta-string and numeric-hours paths agree
+    assert got("36h") == got(36.0) == [
+        ("2024-01-03 15:59:00", "2024-01-05 03:59:00"),
+        ("2024-01-03 16:01:00", "2024-01-05 04:01:00"),
+    ]
+
+
+def test_slice_requests_today_includes_same_day_future(spark):
+    """Reference quirk: a 'today' window ends at midnight AFTER the request
+    ts, so same-day events LATER than the request are included."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mhealth_spark.features import slice_requests
+    from mhealth_spark.synth import hk_to_spark, synth_healthkit  # noqa: F811
+
+    hk = hk_to_spark(spark, synth_healthkit(n_users=1, days=2, seed=5))
+    reqs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "request_id": ["r1"],
+                "user_id": ["u0"],
+                "ts": pd.to_datetime(["2024-01-02 10:00:00"]),
+            }
+        )
+    )
+    sliced = slice_requests(hk, reqs, duration="today").toPandas()
+    assert (sliced["_wstart"] == pd.Timestamp("2024-01-02")).all()
+    assert (sliced["_wend"] == pd.Timestamp("2024-01-03")).all()
+    # at least one included event starts after the request timestamp
+    assert (sliced["local_start"] > pd.Timestamp("2024-01-02 10:00:00")).any()

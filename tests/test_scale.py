@@ -174,3 +174,52 @@ def test_loader_normalize_and_local_time(spark):
     assert norm.iloc[0]["local_start"].hour == 5
     assert norm["value"].tolist() == ["70.0", "500", "Asleep"]
     assert norm["value_num"].tolist()[1] == 500.0
+
+
+XML_EXPORT = """<?xml version="1.0" encoding="UTF-8"?>
+<HealthData locale="en_US">
+ <ExportDate value="2023-10-03 10:00:00 -0700"/>
+ <Record type="HKQuantityTypeIdentifierHeartRate" sourceName="W" unit="count/min"
+   value="64" device="&lt;&lt;HKDevice: 0x2822, name:Apple Watch, manufacturer:Apple&gt;"
+   creationDate="2023-10-01 08:31:00 -0700" startDate="2023-10-01 08:30:00 -0700"
+   endDate="2023-10-01 08:30:00 -0700">
+   <MetadataEntry key="HKMetadataKeyHeartRateMotionContext" value="1"/>
+ </Record>
+ <Record type="HKCategoryTypeIdentifierSleepAnalysis" sourceName="W"
+   value="HKCategoryValueSleepAnalysisAsleepCore"
+   creationDate="2023-10-02 07:00:00 -0700" startDate="2023-10-01 23:00:00 -0700"
+   endDate="2023-10-02 01:00:00 -0700"/>
+</HealthData>
+"""
+
+
+def test_healthkit_xml_ingest_golden(spark, tmp_path):
+    """S3: binaryFile + mapInPandas iterparse parity with the reference's
+    loadHealthKitXML (dataloader.py:126-168): attribute extraction,
+    MetadataEntry flattening, HK prefix strips, device-name parse, and
+    offset-preserving UTC->local conversion through the S1 dispatch."""
+    from mhealth_spark.loader import load_data, load_healthkit_xml
+
+    p = tmp_path / "export.xml"
+    p.write_text(XML_EXPORT)
+
+    raw = load_healthkit_xml(spark, str(p)).toPandas().sort_values("type")
+    assert len(raw) == 2
+    hr = raw[raw.type == "HKQuantityTypeIdentifierHeartRate"].iloc[0]
+    assert hr["device_name"] == "Apple Watch"
+    assert hr["timezone"] == "-07:00"
+    assert str(hr["utc_start"]) == "2023-10-01 15:30:00"  # -0700 -> UTC
+    assert hr["metadata"]["HKMetadataKeyHeartRateMotionContext"] == "1"
+    assert hr["quantity_count"] == 1
+    sl = raw[raw.type.str.contains("Sleep")].iloc[0]
+    assert sl["value"] == "AsleepCore"  # sleep value prefix stripped
+
+    norm = load_data(spark, str(p)).toPandas().sort_values("type")
+    assert list(norm["type"]) == ["HeartRate", "SleepAnalysis"]
+    hr2 = norm[norm.type == "HeartRate"].iloc[0]
+    # local time restored from the export's own offset, start AND end
+    assert str(hr2["local_start"]) == "2023-10-01 08:30:00"
+    assert str(hr2["local_end"]) == "2023-10-01 08:30:00"
+    assert hr2["value_num"] == 64.0
+    sl2 = norm[norm.type == "SleepAnalysis"].iloc[0]
+    assert str(sl2["local_end"]) == "2023-10-02 01:00:00"
