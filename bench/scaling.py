@@ -3,7 +3,7 @@ efficiency from N to 4N executors, evidenced in-sandbox as local[8] vs
 local[32] on identical input — no real cluster available here).
 
 Usage:  python bench/scaling.py [n_docs]   (default 1M payload docs;
-                                            the narrow tiers use 4x that)
+                                            the narrow tiers use 32x that)
 
 Writes BENCH/BASELINE.md + BENCH/scaling_raw.json and prints one JSON
 line. Each parallelism level runs in its own subprocess (a JVM's master
@@ -25,18 +25,18 @@ Tiers and what each one evidences:
 - sequence_features (1M payload docs): map-only CPU tier — parquet decode
   + per-sequence folds, zero exchange. Thread scaling here bounds what
   the box can show for ANY job.
-- feature_vectors (4M narrow rows): the window/shuffle tier — lag/lead +
+- feature_vectors (32M narrow rows): the window/shuffle tier — lag/lead +
   rolling aggregates per entity. Column pruning means the token arrays
   are never read: this is the engine's actual per-(entity, ts)
   feature-vector throughput, the north-rule metric.
-- backfill (4M narrow rows): the as-of/point-in-time join tier.
+- backfill (32M narrow rows): the as-of/point-in-time join tier.
 - row_features (1M payload docs): END-TO-END pass-through — feature
   vectors joined back to the full token payload. On ONE box this tier is
   DRAM/page-cache bandwidth-bound at ≤8 threads (a pure payload
   scan→noop already stops scaling there, measured), so its single-box
   thread efficiency is reported but is NOT evidence against N→4N
   EXECUTOR scaling, where each node adds its own memory channels.
-- daily_rollup (4M): salted skew-safe aggregation (timed, no ratio).
+- daily_rollup (32M): salted skew-safe aggregation (timed, no ratio).
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_1X = "/tmp/bench_tokens.parquet"
-DATA_4X = "/tmp/bench_tokens_4m.parquet"
+DATA_NARROW = "/tmp/bench_tokens_narrow32m.parquet"
 
 WORKER = r"""
 import json, os, sys, time
@@ -67,7 +67,7 @@ spark = get_spark("scaling", master="local[" + str(cores) + "]",
                   extra_conf={{"spark.local.dir": "/dev/shm/spark"}})
 spark.sparkContext.setLogLevel("ERROR")
 tokens_1x = spark.read.parquet({data1!r})
-tokens_4x = spark.read.parquet({data4!r})
+tokens_nw = spark.read.parquet({datan!r})
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -84,22 +84,22 @@ def timed(make_df, n_runs=3):
 
 results = {{}}
 results["sequence_features_sec"] = timed(lambda: sequence_features(tokens_1x))
-results["feature_vectors_sec"] = timed(lambda: feature_vectors(tokens_4x))
+results["feature_vectors_sec"] = timed(lambda: feature_vectors(tokens_nw))
 results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
 n_rows_1x = tokens_1x.count()
-n_rows_4x = tokens_4x.count()
+n_rows_nw = tokens_nw.count()
 
-reqs = hourly_requests(tokens_4x)
-results["backfill_sec"] = timed(lambda: backfill_features(tokens_4x, reqs))
+reqs = hourly_requests(tokens_nw)
+results["backfill_sec"] = timed(lambda: backfill_features(tokens_nw, reqs))
 n_reqs = reqs.count()
 
-results["daily_rollup_sec"] = timed(lambda: daily_source_stats(tokens_4x))
+results["daily_rollup_sec"] = timed(lambda: daily_source_stats(tokens_nw))
 
 results["n_rows_1x"] = n_rows_1x
-results["n_rows_4x"] = n_rows_4x
+results["n_rows_nw"] = n_rows_nw
 results["n_requests"] = n_reqs
 results["rows_per_sec_sequence_features"] = n_rows_1x / results["sequence_features_sec"]
-results["rows_per_sec_feature_vectors"] = n_rows_4x / results["feature_vectors_sec"]
+results["rows_per_sec_feature_vectors"] = n_rows_nw / results["feature_vectors_sec"]
 results["rows_per_sec_row_features"] = n_rows_1x / results["row_features_sec"]
 results["rows_per_sec_backfill"] = n_reqs / results["backfill_sec"]
 print("RESULT " + json.dumps(results))
@@ -108,8 +108,8 @@ spark.stop()
 
 RATE_TIERS = [
     ("sequence_features", "map-only per-sequence features (1M payload docs, CPU tier)"),
-    ("feature_vectors", "entity×ts window feature vectors (4M narrow rows, NORTH-RULE tier)"),
-    ("backfill", "point-in-time 24h backfill (4M narrow rows, as-of join tier)"),
+    ("feature_vectors", "entity×ts window feature vectors (32M narrow rows, NORTH-RULE tier)"),
+    ("backfill", "point-in-time 24h backfill (32M narrow rows, as-of join tier)"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
 ]
 
@@ -120,7 +120,7 @@ def run_level(cores: int) -> dict:
     with every later measurement."""
     import signal
 
-    code = WORKER.format(repo=REPO, data1=DATA_1X, data4=DATA_4X)
+    code = WORKER.format(repo=REPO, data1=DATA_1X, datan=DATA_NARROW)
     env = dict(os.environ, SPARK_DRIVER_MEM="32g")
     proc = subprocess.Popen(
         [sys.executable, "-c", code, str(cores)],
@@ -144,14 +144,20 @@ def run_level(cores: int) -> dict:
     )
 
 
-def _gen(n_docs: int, path: str) -> None:
+def _gen(n_docs: int, path: str, narrow: bool = False) -> None:
+    # narrow=True materializes only the 4 columns the window/as-of tiers
+    # actually read — identical physical work to scanning a payload table
+    # with column pruning (ReadSchema excludes `tokens`; verified by
+    # tools/explain_audit.py), without burning 10x disk on arrays no tier
+    # would scan. Catalyst prunes the token expression at generation too.
+    drop = ".drop('tokens')" if narrow else ""
     gen = f"""
 import sys; sys.path.insert(0, {REPO!r})
 from mhealth_spark.session import get_spark
 from mhealth_spark.synth import synth_tokens
 spark = get_spark("gen", master="local[32]", shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
-synth_tokens(spark, {n_docs}, seed=42).write.mode("overwrite").parquet({path!r})
+synth_tokens(spark, {n_docs}, seed=42){drop}.write.mode("overwrite").parquet({path!r})
 spark.stop()
 """
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -163,7 +169,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     os.makedirs("/dev/shm/spark", exist_ok=True)
     _gen(n_docs, DATA_1X)
-    _gen(4 * n_docs, DATA_4X)
+    _gen(32 * n_docs, DATA_NARROW, narrow=True)
 
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     lo_runs, hi_runs = [], []
@@ -191,7 +197,7 @@ def main() -> None:
 
     report = {
         "n_docs_payload": n_docs,
-        "n_docs_narrow": 4 * n_docs,
+        "n_docs_narrow": 32 * n_docs,
         "rounds": rounds,
         "local8": lo,
         "local32": hi,
@@ -219,14 +225,15 @@ sandbox); both levels run in separate JVMs with identical configs
 over {rounds} rounds with per-level minima to reject the host's CPU-steal
 bursts. Payload tiers use {n_docs:,} token sequences (seed 42, ~50% of
 rows on one heavy source, 1% of writers holding ~30%); narrow tiers use
-{4 * n_docs:,} sequences — their jobs read 3-4 pruned parquet columns, so
-the token arrays never enter the scan (verified: ReadSchema excludes
-`tokens`).
+{32 * n_docs:,} sequences — their jobs read 3-4 pruned parquet
+columns — the token arrays never enter the scan (ReadSchema excludes
+`tokens`, verified by tools/explain_audit.py), so the narrow input is
+materialized without the arrays (identical physical plan, 10x less disk).
 
 | tier | local[8] sec | local[32] sec | local[8] rows/s | local[32] rows/s | efficiency thr32/(4·thr8) |
 |---|---|---|---|---|---|
 {rows}
-| skew-safe daily rollup (4M) | {lo['daily_rollup_sec']:.2f} | {hi['daily_rollup_sec']:.2f} | — | — | — |
+| skew-safe daily rollup (32M narrow) | {lo['daily_rollup_sec']:.2f} | {hi['daily_rollup_sec']:.2f} | — | — | — |
 
 Scaling-efficiency target (north rule): ≥ 0.8 between N and 4N executors.
 

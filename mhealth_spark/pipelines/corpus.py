@@ -1,0 +1,187 @@
+"""Corpus-construction operators for training-data pipelines: sequence
+packing, deterministic sampling, vocabulary statistics.
+
+These run over the pre-tokenized table ``(doc_id, tokens, n_tok, source,
+writer_id, ts)`` (BASELINE.json input_hint) and are designed around one
+exchange each:
+
+- ``pack_sequences_chunked`` — token-budget packing as a pure window
+  cumsum (docs are never split; a pack may overflow by at most one doc).
+  Fully SQL-expressible → DuckDB oracle.
+- ``pack_sequences_greedy`` — classic first-fit-sequential greedy packing
+  (a doc opens a new pack when it would overflow). The recurrence is
+  prefix-dependent (not associative), so it runs as an Arrow-vectorized
+  ``applyInPandas`` kernel per entity — the north-star-sanctioned shape
+  for sequential logic; value-checked against a pure-Python reference in
+  pytest.
+- ``sample_corpus`` — deterministic md5-threshold sampling (reproducible
+  across engines and runs, no RNG state); per-source stratified rates.
+- ``vocab_histogram`` — per-source token frequencies (explode → one
+  groupBy; map-side combine bounds shuffle volume by vocab, not corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences_chunked(
+    tokens: DataFrame,
+    budget: int = 2048,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign each doc to a pack by token-budget chunking per entity:
+    docs ordered by (ts, doc_id); ``pack_id = floor(exclusive-prefix-sum
+    of n_tok / budget)``. Documents are never split; a pack can overflow
+    by at most one document (concat-then-cut training pipelines tolerate
+    this; use the greedy kernel when strict budgets matter). One window
+    exchange on the entity."""
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return tokens.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        "n_tok",
+        F.floor(prev_cum / budget).cast("long").alias("pack_id"),
+        prev_cum.cast("long").alias("pack_offset_tokens"),
+    )
+
+
+_GREEDY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("entity", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("pack_id", T.LongType(), False),
+        T.StructField("pack_fill", T.LongType(), False),
+    ]
+)
+
+
+def pack_sequences_greedy(
+    tokens: DataFrame,
+    budget: int = 2048,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-fit-sequential greedy packing per entity: walk docs in
+    (ts, doc_id) order; a doc joins the current pack unless that would
+    exceed ``budget`` (docs longer than the budget get a pack of their
+    own). Prefix-dependent recurrence → Arrow-batched ``applyInPandas``
+    per entity (each group sorted in-kernel; numpy loop over group rows,
+    no Python in the JVM hot path)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, "doc_id"], kind="mergesort")
+        packs, fills = [], []
+        pack, fill = 0, 0
+        for n in pdf["n_tok"].to_numpy():
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                pack += 1
+                fill = 0
+            packs.append(pack)
+            fills.append(fill)
+            fill += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "entity": pdf[entity_col].to_numpy(),
+                "n_tok": pdf["n_tok"].to_numpy(),
+                "pack_id": packs,
+                "pack_fill": fills,
+            }
+        )
+
+    narrow = tokens.select("doc_id", entity_col, ts_col, "n_tok")
+    return narrow.groupBy(entity_col).applyInPandas(kernel, _GREEDY_SCHEMA)
+
+
+def sample_corpus(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    strata_rates: dict[str, float] | None = None,
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling: keep rows where the first 8
+    hex digits of ``md5(id || '#' || salt)`` sort below the rate's hex
+    threshold (lowercase-hex lexicographic order == numeric order, so the
+    comparison is pure string work — portable to any engine verbatim).
+    Reproducible across engines, runs, and partitionings (no RNG state —
+    the property a resumable 100 TB pipeline needs; change ``salt`` for an
+    independent draw). ``strata_rates`` overrides the rate per stratum."""
+
+    def thresh(r: float) -> str:
+        return format(min(int(r * 16**8), 16**8 - 1), "08x")
+
+    hx = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
+    )
+    if strata_col is not None and strata_rates:
+        cond = F.lit(False)
+        covered = F.lit(False)
+        for k, r in strata_rates.items():
+            in_stratum = F.col(strata_col) == k
+            cond = cond | (in_stratum & (hx < thresh(r)))
+            covered = covered | in_stratum
+        cond = cond | (~covered & (hx < thresh(rate)))
+        return df.filter(cond)
+    return df.filter(hx < thresh(rate))
+
+
+def vocab_histogram(
+    tokens: DataFrame,
+    by_col: str = "source",
+    top_k: int | None = None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-``by_col`` token frequencies: explode → ONE groupBy on
+    (by, token). Map-side combine collapses each input partition to at
+    most |vocab| rows before the shuffle, so shuffle volume is bounded by
+    vocab size × partitions, not corpus size. ``top_k`` ranks within each
+    group (ties broken by token id) via one window over the aggregated
+    (small) frame."""
+    ex = tokens.select(
+        F.col(by_col), F.explode(F.col(tokens_col)).alias("token")
+    )
+    counts = ex.groupBy(by_col, "token").agg(F.count("*").alias("freq"))
+    if top_k is None:
+        return counts
+    w = Window.partitionBy(by_col).orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(by_col, "token", "freq", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def dataset_manifest(
+    tokens: DataFrame,
+    by_col: str = "source",
+) -> DataFrame:
+    """Per-source dataset card scalars: docs, tokens, length quantiles
+    (exact percentile — one agg), distinct writers. The groupBy is 8-ish
+    groups; exact percentiles are fine because the per-group value lists
+    live across partitions via the partial-aggregation percentile impl."""
+    return tokens.groupBy(by_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("n_tok").alias("len_min"),
+        F.expr("percentile(n_tok, 0.5)").alias("len_p50"),
+        F.expr("percentile(n_tok, 0.9)").alias("len_p90"),
+        F.expr("percentile(n_tok, 0.99)").alias("len_p99"),
+        F.max("n_tok").alias("len_max"),
+        F.count_distinct("writer_id").alias("n_writers"),
+    )

@@ -612,6 +612,119 @@ def tokens_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-construction operators (packing / sampling / vocab stats)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_pack_chunked",
+    f"""
+    WITH t AS (SELECT doc_id, source, ts, n_tok FROM {_TOKENS_DUCK}),
+    c AS (SELECT doc_id, source, ts, n_tok,
+                 COALESCE(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY ts, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS prev_cum
+          FROM t)
+    SELECT doc_id, source, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           CAST(floor(prev_cum / 2048) AS BIGINT) AS pack_id,
+           CAST(prev_cum AS BIGINT) AS pack_offset_tokens
+    FROM c
+    """,
+)
+def corpus_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.pipelines.corpus import pack_sequences_chunked
+
+    out = pack_sequences_chunked(_tokens(spark), budget=2048)
+    return out.select(
+        "doc_id",
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        "pack_id",
+        "pack_offset_tokens",
+    )
+
+
+# greedy packing is a prefix-dependent recurrence (applyInPandas kernel,
+# not SQL-expressible) → rows-only here; value-checked against a pure
+# Python reference in tests/test_domains.py
+@register("corpus_pack_greedy")
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.pipelines.corpus import pack_sequences_greedy
+
+    return pack_sequences_greedy(_tokens(spark), budget=2048)
+
+
+@register(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substring(md5(doc_id::VARCHAR || '#s0'), 1, 8)
+          < CASE WHEN source = 'src0' THEN '0ccccccc' ELSE '80000000' END
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.pipelines.corpus import sample_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sample_corpus(
+        docs, rate=0.5, strata_col="source", strata_rates={"src0": 0.05}
+    )
+
+
+@register(
+    "corpus_vocab_top",
+    f"""
+    WITH ex AS (SELECT source, unnest(tokens) AS token FROM {_TOKENS_DUCK}),
+    c AS (SELECT source, token, count(*) AS freq FROM ex GROUP BY 1, 2),
+    r AS (SELECT source, token, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, token) AS rank
+          FROM c)
+    SELECT source, token, freq, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 20
+    """,
+)
+def corpus_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.pipelines.corpus import vocab_histogram
+
+    return vocab_histogram(_tokens(spark), top_k=20)
+
+
+@register(
+    "corpus_manifest",
+    f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(n_tok) AS len_min,
+           round(quantile_cont(n_tok, 0.5), 6) AS len_p50,
+           round(quantile_cont(n_tok, 0.9), 6) AS len_p90,
+           round(quantile_cont(n_tok, 0.99), 6) AS len_p99,
+           max(n_tok) AS len_max,
+           count(DISTINCT writer_id) AS n_writers
+    FROM {_TOKENS_DUCK}
+    GROUP BY 1
+    """,
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.pipelines.corpus import dataset_manifest
+
+    out = dataset_manifest(_tokens(spark))
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "len_min",
+        F.round("len_p50", 6).alias("len_p50"),
+        F.round("len_p90", 6).alias("len_p90"),
+        F.round("len_p99", 6).alias("len_p99"),
+        "len_max",
+        "n_writers",
+    )
+
+
 # fingerprint64 is an xxhash64 rolling chain (no DuckDB twin) — it is
 # value-checked by a brute-force pytest instead; every other output
 # column is oracle-checked here.

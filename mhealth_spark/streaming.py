@@ -76,6 +76,33 @@ def stream_sessionize(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+    fingerprint_col: str = "fp",
+) -> DataFrame:
+    """Streaming exact dedup (the incremental face of
+    dedup.exact_dedup_groups): fingerprint each document and keep ONE
+    row per fingerprint (within a microbatch the survivor is
+    partition-order dependent, not necessarily the earliest arrival —
+    dropDuplicatesWithinWatermark semantics), state bounded by the
+    watermark
+    (``dropDuplicatesWithinWatermark``) — at 100 TB/day the alternative,
+    unbounded dedup state, is not operable. Duplicates farther apart than
+    the watermark re-emit by design; the batch operator is the exact
+    backstop over the full corpus."""
+    from mhealth_spark.pipelines.text import words_col
+
+    with_fp = docs.withColumn(
+        fingerprint_col, F.md5(F.concat_ws(" ", words_col(text_col)))
+    )
+    return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [fingerprint_col]
+    )
+
+
 def stream_asof_enrich(
     stream: DataFrame,
     static_dim: DataFrame,

@@ -223,3 +223,47 @@ def test_healthkit_xml_ingest_golden(spark, tmp_path):
     assert hr2["value_num"] == 64.0
     sl2 = norm[norm.type == "SleepAnalysis"].iloc[0]
     assert str(sl2["local_end"]) == "2023-10-02 01:00:00"
+
+
+def test_pack_sequences_greedy_matches_python_reference(spark):
+    """First-fit-sequential greedy packing (applyInPandas kernel) vs an
+    independent pure-Python walk, plus invariants: packs never exceed the
+    budget unless a single doc alone does; chunked packing agrees on
+    offsets."""
+    from mhealth_spark.pipelines.corpus import (
+        pack_sequences_chunked,
+        pack_sequences_greedy,
+    )
+
+    tk = synth_tokens(spark, 800, seed=11).select("doc_id", "source", "ts", "n_tok")
+    budget = 1500
+    got = (
+        pack_sequences_greedy(tk, budget=budget)
+        .toPandas()
+        .sort_values(["entity", "pack_id", "pack_fill"])
+    )
+    pdf = tk.toPandas().sort_values(["source", "ts", "doc_id"], kind="mergesort")
+    for src, grp in pdf.groupby("source"):
+        pack, fill, want = 0, 0, {}
+        for _, r in grp.iterrows():
+            n = int(r.n_tok)
+            if fill > 0 and fill + n > budget:
+                pack, fill = pack + 1, 0
+            want[r.doc_id] = (pack, fill)
+            fill += n
+        sub = got[got.entity == src].set_index("doc_id")
+        for doc_id, (p, f) in want.items():
+            assert (sub.loc[doc_id, "pack_id"], sub.loc[doc_id, "pack_fill"]) == (p, f)
+    # budget invariant
+    sums = got.groupby(["entity", "pack_id"])["n_tok"].agg(["sum", "count", "max"])
+    over = sums[sums["sum"] > budget]
+    assert (over["count"] == 1).all()  # only single oversized docs overflow
+    # chunked variant: offsets are the exclusive prefix sums
+    ch = pack_sequences_chunked(tk, budget=budget).toPandas()
+    ch = ch.sort_values(["source", "ts", "doc_id"], kind="mergesort")
+    for src, grp in ch.groupby("source"):
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r.pack_offset_tokens == cum
+            assert r.pack_id == cum // budget
+            cum += int(r.n_tok)

@@ -70,3 +70,40 @@ def test_stream_sessionize(spark, tmp_path):
     # 7-minute cadence with 30-minute gap → one session per user
     assert len(got) == 2
     assert (got["n_events"] == 50).all()
+
+
+def test_stream_exact_dedup_first_arrival(spark, tmp_path):
+    """stream_exact_dedup: one row per fingerprint within the watermark,
+    agreeing with the batch dedup's group structure."""
+    from mhealth_spark.streaming import stream_exact_dedup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    texts = ["the quick brown fox", "lorem ipsum dolor", "the quick  brown fox"]
+    # texts[0] and texts[2] normalize to the same fingerprint (whitespace)
+    for i, t in enumerate(texts * 4):
+        rows.append(dict(doc_id=f"d{i}", ts=base + dt.timedelta(minutes=i), text=t))
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_dedup").toPandas()
+    # 12 rows, 2 distinct fingerprints -> exactly 2 survivors, one per
+    # group (within a single microbatch the survivor is partition-order
+    # dependent, NOT necessarily the earliest ts — Spark semantics)
+    assert len(got) == 2
+    assert len(set(got["fp"])) == 2
+    dup_group = {f"d{i}" for i, t in enumerate(texts * 4) if "quick" in t}
+    other_group = {f"d{i}" for i, t in enumerate(texts * 4) if "quick" not in t}
+    ids = set(got["doc_id"])
+    assert len(ids & dup_group) == 1 and len(ids & other_group) == 1

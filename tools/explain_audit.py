@@ -44,7 +44,56 @@ AUDIT = {
         requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # round-2 additions: the cartesian near-dup is gone — banded LSH is a
+    # plain shuffled equi-join on (band, sig)
+    "dedup_embedding_cosine": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "dedup_simhash_hamming": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "ann_lsh_multiprobe": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # narrow feature-vector tier: the parquet scan must NOT read the token
+    # arrays (ReadSchema excludes `tokens`) and the window is the only
+    # exchange
+    "tokens_row_features": dict(
+        requires=["Window", "(ShuffledHashJoin|SortMergeJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_pack_chunked": dict(
+        requires=["Window"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_vocab_top": dict(
+        requires=["HashAggregate"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 }
+
+
+def audit_feature_vectors(spark) -> list[str]:
+    """The pruning promise: feature_vectors off parquet scans only the 4
+    narrow columns — `tokens` must be absent from the scan's ReadSchema."""
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import feature_vectors
+
+    path = materialize_synth_tokens(spark)
+    df = feature_vectors(spark.read.parquet(path))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    problems = []
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    if not m:
+        problems.append("no ReadSchema found")
+    elif "tokens" in m.group(1):
+        problems.append(f"token arrays NOT pruned from scan: {m.group(1)}")
+    return problems
 
 
 def main() -> int:
@@ -73,6 +122,10 @@ def main() -> int:
             print(f"    {p}")
         if problems or name in sys.argv[1:]:
             print(plan[:4000])
+    fv_problems = audit_feature_vectors(spark)
+    print("OK feature_vectors: token column pruned from scan" if not fv_problems
+          else f"FAIL feature_vectors: {fv_problems}")
+    failures += bool(fv_problems)
     spark.stop()
     return 1 if failures else 0
 
