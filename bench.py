@@ -49,7 +49,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    extra = [n for n in QUERIES if n not in names and n.startswith(("dedup", "ann", "text"))]
+    extra = [
+        n
+        for n in QUERIES
+        if n not in names and n.startswith(("dedup", "ann", "text", "corpus", "tokens"))
+    ]
     names += extra
 
     timings: dict[str, float] = {}

@@ -29,7 +29,13 @@ Tiers and what each one evidences:
   rolling aggregates per entity. Column pruning means the token arrays
   are never read: this is the engine's actual per-(entity, ts)
   feature-vector throughput, the north-rule metric.
-- backfill (32M narrow rows): the as-of/point-in-time join tier.
+- backfill (32M narrow rows): the as-of tier over the regular hourly
+  grid — hierarchical aggregation (hour partials via map-side combine,
+  then a 24h range window over the tiny partial table); value-identical
+  to the generic bucketized as-of join (shared DuckDB oracle).
+- scan_narrow (32M rows): pure pruned scan→noop — no engine logic at
+  all; whatever efficiency THIS shows is the single-box ceiling any
+  data-touching job can reach, calibrating how to read the other tiers.
 - row_features (1M payload docs): END-TO-END pass-through — feature
   vectors joined back to the full token payload. On ONE box this tier is
   DRAM/page-cache bandwidth-bound at ≤8 threads (a pure payload
@@ -57,7 +63,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from mhealth_spark.session import get_spark
 from mhealth_spark.tokens_engine import (
-    backfill_features, hourly_requests, row_features, daily_source_stats,
+    backfill_features_grid, hourly_requests, row_features, daily_source_stats,
     sequence_features, feature_vectors,
 )
 
@@ -89,11 +95,11 @@ results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
 n_rows_1x = tokens_1x.count()
 n_rows_nw = tokens_nw.count()
 
-reqs = hourly_requests(tokens_nw)
-results["backfill_sec"] = timed(lambda: backfill_features(tokens_nw, reqs))
-n_reqs = reqs.count()
+results["backfill_sec"] = timed(lambda: backfill_features_grid(tokens_nw))
+n_reqs = hourly_requests(tokens_nw).count()
+results["scan_narrow_sec"] = timed(lambda: tokens_nw)
 
-results["daily_rollup_sec"] = timed(lambda: daily_source_stats(tokens_nw))
+results["daily_rollup_sec"] = timed(lambda: daily_source_stats(tokens_nw), n_runs=2)
 
 results["n_rows_1x"] = n_rows_1x
 results["n_rows_nw"] = n_rows_nw
@@ -102,6 +108,7 @@ results["rows_per_sec_sequence_features"] = n_rows_1x / results["sequence_featur
 results["rows_per_sec_feature_vectors"] = n_rows_nw / results["feature_vectors_sec"]
 results["rows_per_sec_row_features"] = n_rows_1x / results["row_features_sec"]
 results["rows_per_sec_backfill"] = n_reqs / results["backfill_sec"]
+results["rows_per_sec_scan_narrow"] = n_rows_nw / results["scan_narrow_sec"]
 print("RESULT " + json.dumps(results))
 spark.stop()
 """
@@ -109,7 +116,8 @@ spark.stop()
 RATE_TIERS = [
     ("sequence_features", "map-only per-sequence features (1M payload docs, CPU tier)"),
     ("feature_vectors", "entity×ts window feature vectors (32M narrow rows, NORTH-RULE tier)"),
-    ("backfill", "point-in-time 24h backfill (32M narrow rows, as-of join tier)"),
+    ("backfill", "point-in-time 24h backfill grid (32M narrow rows, hierarchical agg)"),
+    ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
 ]
 
@@ -131,7 +139,7 @@ def run_level(cores: int) -> dict:
         start_new_session=True,
     )
     try:
-        stdout, stderr = proc.communicate(timeout=3000)
+        stdout, stderr = proc.communicate(timeout=3600)
     except subprocess.TimeoutExpired:
         os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
         proc.wait()

@@ -56,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     p_daily = sub.add_parser("hk-daily", help="HealthKit daily feature table")
     add_io(p_daily)
 
+    p_dd = sub.add_parser("corpus-dedup", help="MinHash-LSH near-dup candidate pairs")
+    add_io(p_dd)
+    p_dd.add_argument("--num-hashes", type=int, default=8)
+    p_dd.add_argument("--band-size", type=int, default=2)
+
+    p_pack = sub.add_parser("corpus-pack", help="token-budget sequence packing")
+    add_io(p_pack)
+    p_pack.add_argument("--budget", type=int, default=2048)
+    p_pack.add_argument("--greedy", action="store_true",
+                        help="first-fit greedy kernel instead of window chunking")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "package":
@@ -88,6 +99,20 @@ def main(argv: list[str] | None = None) -> int:
         from mhealth_spark.features import collect_all_daily_features
 
         out = collect_all_daily_features(df)
+    elif args.cmd == "corpus-dedup":
+        from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+
+        out = minhash_lsh_candidates(
+            df, num_hashes=args.num_hashes, band_size=args.band_size
+        )
+    elif args.cmd == "corpus-pack":
+        from mhealth_spark.pipelines.corpus import (
+            pack_sequences_chunked,
+            pack_sequences_greedy,
+        )
+
+        pack = pack_sequences_greedy if args.greedy else pack_sequences_chunked
+        out = pack(df, budget=args.budget, entity_col=args.entity_col)
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 

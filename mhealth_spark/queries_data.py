@@ -534,9 +534,7 @@ def tokens_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tokens_backfill_24h",
-    f"""
+_BACKFILL_ORACLE = f"""
     WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
     span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
                     date_trunc('hour', max(ts)) AS t1
@@ -553,13 +551,32 @@ def tokens_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND e.ts <= r.ts
      AND epoch(e.ts) > epoch(r.ts) - 86400
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("tokens_backfill_24h", _BACKFILL_ORACLE)
 def tokens_backfill_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import backfill_features, hourly_requests
 
     tk = _tokens(spark)
     out = backfill_features(tk, hourly_requests(tk))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_24h",
+        "tokens_24h",
+        F.round("mean_len_24h", 6).alias("mean_len_24h"),
+        "max_len_24h",
+    )
+
+
+# the hierarchical-aggregation twin for REGULAR grids: must be value-
+# identical to the generic as-of join, so it shares the SAME oracle SQL
+@register("tokens_backfill_grid", _BACKFILL_ORACLE)
+def tokens_backfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mhealth_spark.tokens_engine import backfill_features_grid
+
+    out = backfill_features_grid(_tokens(spark))
     return out.select(
         "source",
         F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),

@@ -217,6 +217,73 @@ def backfill_features(
     )
 
 
+def backfill_features_grid(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    lookback_hours: int = 24,
+) -> DataFrame:
+    """As-of lookback features for the REGULAR hourly request grid
+    (hourly_requests), via hierarchical aggregation instead of the generic
+    bucketized join: events roll up to per-(entity, hour] partials in ONE
+    groupBy (map-side combine shrinks 10^12 events to |entities|×|hours|
+    rows before the shuffle), then each request's (ts-24h, ts] window is
+    a 24-row range-window over the partial table — decomposable
+    aggregates only (count/sum/max; mean = sum/count).
+
+    Exactness: the request window (H-24, H] is the disjoint union of the
+    24 half-open hour intervals (h-1, h]; partials are keyed by the hour
+    CEILING so an event exactly on a boundary lands in the lower
+    interval, matching ``point_in_time_join``'s strict-lower/inclusive-
+    upper guard. Equality with ``backfill_features`` is pytest- and
+    oracle-checked. Use the generic join for irregular request sets.
+
+    At 10^12 events this turns the dominant join (events × requests per
+    bucket) into a pre-aggregation whose shuffle is bounded by the grid,
+    not the corpus — the standard rollup-cube trick for dense grids.
+    """
+    t = F.col(ts_col).cast("timestamp")
+    hour_floor = F.date_trunc("HOUR", t)
+    # ceil to hour; events exactly on a boundary stay in the lower interval
+    hr = F.when(t == hour_floor, hour_floor).otherwise(
+        hour_floor + F.expr("INTERVAL 1 HOUR")
+    )
+    partials = (
+        tokens.select(
+            F.col(entity_col),
+            hr.alias("_hr"),
+            F.col("n_tok"),
+        )
+        .groupBy(entity_col, "_hr")
+        .agg(
+            F.count("n_tok").alias("_n"),
+            F.sum("n_tok").alias("_s"),
+            F.max("n_tok").alias("_mx"),
+        )
+    )
+    # dense spine: every request hour appears even when no events did
+    spine = hourly_requests(tokens, entity_col).select(
+        entity_col, F.col("ts").alias("_hr")
+    )
+    dense = spine.join(partials, [entity_col, "_hr"], "left")
+    hours_num = (F.unix_micros(F.col("_hr")) / 3.6e9).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(hours_num)
+        .rangeBetween(-(lookback_hours - 1), 0)
+    )
+    n = F.sum("_n").over(w)
+    s = F.sum("_s").over(w)
+    return dense.select(
+        F.col(entity_col),
+        F.col("_hr").alias("ts"),
+        F.coalesce(n, F.lit(0)).alias("docs_24h"),
+        s.alias("tokens_24h"),
+        (s / n).alias("mean_len_24h"),
+        F.max("_mx").over(w).alias("max_len_24h"),
+    )
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

@@ -53,3 +53,24 @@ def test_skew_distribution(spark):
     )
     assert counts.idxmax() == "web"
     assert counts.max() > 0.4 * counts.sum()
+
+
+def test_feature_vectors_consistent_with_row_features(spark):
+    """The narrow tier and the payload-join path must agree feature-for-
+    feature: row_features = feature_vectors ⋈ payload, nothing more."""
+    import pandas as pd
+
+    from mhealth_spark.tokens_engine import feature_vectors, row_features
+
+    tk = synth_tokens(spark, 600, seed=13)
+    fv = feature_vectors(tk).toPandas().set_index("doc_id").sort_index()
+    rf = (
+        row_features(tk)
+        .drop("tokens")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(fv.columns) == set(rf.columns)
+    for c in fv.columns:
+        pd.testing.assert_series_equal(fv[c], rf[c], check_names=False)
