@@ -68,10 +68,22 @@ WORKLOAD_TAGS = {
     "sequence_features": "1m-fold-v1",
     "row_features": "1m-joinback-v1",
     "feature_vectors": "32m-window-v1",
+    "feature_vectors_prelayout": "128m-bucketed-v1",
     "backfill": "32m-grid-v1",
     "scan_narrow": "32m-scan-v1",
     "daily_rollup": "32m-salted-v1",
 }
+
+BUCKETED_WAREHOUSE = "/tmp/bench_wh"
+BUCKETED_TABLE = "tk_b128m"
+# 4x the exchange tier's rows: the exchange-free window is ~3x faster
+# per row, so matching its WALL TIME (~20 s at local[8]) keeps the
+# thread-scaling ratio out of the fixed-floor regime the scan_narrow
+# tier calibrates (~0.7 s of scheduling/stage setup dominates any ≲3 s
+# job and reads as fake inefficiency).
+BUCKETED_N = 128_000_000
+BUCKETED_BUCKETS = 64
+BUCKETED_DDL = "doc_id STRING, writer_id STRING, ts TIMESTAMP_NTZ, n_tok INT"
 
 WORKER = r"""
 import json, os, sys, time
@@ -107,6 +119,18 @@ def timed(make_df, n_runs=3):
 results = {{}}
 results["sequence_features_sec"] = timed(lambda: sequence_features(tokens_1x))
 results["feature_vectors_sec"] = timed(lambda: feature_vectors(tokens_nw))
+
+# pre-layout tier: same window workload over the persisted bucketed
+# layout — scan's HashPartitioning(writer_id) + SORTED BY metadata mean
+# the plan has NO Exchange and NO Sort (tests/test_layout.py asserts it)
+from mhealth_spark.source import register_bucketed_layout, sorted_bucket_scan
+register_bucketed_layout(spark, {btable!r}, {bloc!r}, {bddl!r},
+                         buckets={bbuckets})
+sorted_bucket_scan(spark, True)
+results["feature_vectors_prelayout_sec"] = timed(
+    lambda: feature_vectors(spark.table({btable!r})))
+n_rows_bucketed = spark.table({btable!r}).count()
+sorted_bucket_scan(spark, False)
 results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
 n_rows_1x = tokens_1x.count()
 n_rows_nw = tokens_nw.count()
@@ -122,6 +146,9 @@ results["n_rows_nw"] = n_rows_nw
 results["n_requests"] = n_reqs
 results["rows_per_sec_sequence_features"] = n_rows_1x / results["sequence_features_sec"]
 results["rows_per_sec_feature_vectors"] = n_rows_nw / results["feature_vectors_sec"]
+results["n_rows_bucketed"] = n_rows_bucketed
+results["rows_per_sec_feature_vectors_prelayout"] = (
+    n_rows_bucketed / results["feature_vectors_prelayout_sec"])
 results["rows_per_sec_row_features"] = n_rows_1x / results["row_features_sec"]
 results["rows_per_sec_backfill"] = n_reqs / results["backfill_sec"]
 results["rows_per_sec_scan_narrow"] = n_rows_nw / results["scan_narrow_sec"]
@@ -132,6 +159,7 @@ spark.stop()
 RATE_TIERS = [
     ("sequence_features", "map-only per-sequence features (1M payload docs, CPU tier)"),
     ("feature_vectors", "entity×ts window feature vectors (32M narrow rows, NORTH-RULE tier)"),
+    ("feature_vectors_prelayout", "same window over persisted bucketed layout, 128M rows (zero Exchange/Sort)"),
     ("backfill", "point-in-time 24h backfill grid (32M narrow rows, hierarchical agg)"),
     ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
@@ -144,7 +172,15 @@ def run_level(cores: int) -> dict:
     with every later measurement."""
     import signal
 
-    code = WORKER.format(repo=REPO, data1=DATA_1X, datan=DATA_NARROW)
+    code = WORKER.format(
+        repo=REPO,
+        data1=DATA_1X,
+        datan=DATA_NARROW,
+        btable=BUCKETED_TABLE,
+        bloc=os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE),
+        bddl=BUCKETED_DDL,
+        bbuckets=BUCKETED_BUCKETS,
+    )
     env = dict(os.environ, SPARK_DRIVER_MEM="32g")
     proc = subprocess.Popen(
         [sys.executable, "-c", code, str(cores)],
@@ -189,6 +225,32 @@ spark.stop()
                        capture_output=True)
 
 
+def _gen_bucketed() -> None:
+    """Materialize the persisted bucketed layout ONCE (128M synthesized
+    narrow rows; pays the entity exchange at write time). Every worker
+    then registers the existing files — tests/test_layout.py covers the
+    register path."""
+    loc = os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        return
+    gen = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from mhealth_spark.session import get_spark
+from mhealth_spark.source import write_bucketed_layout
+from mhealth_spark.synth import synth_tokens
+spark = get_spark("gen-bucketed", master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+nw = synth_tokens(spark, {BUCKETED_N}, seed=42).select(
+    "doc_id", "writer_id", "ts", "n_tok")
+write_bucketed_layout(nw, {BUCKETED_TABLE!r}, buckets={BUCKETED_BUCKETS})
+spark.stop()
+"""
+    env = dict(os.environ, SPARK_WAREHOUSE_DIR=BUCKETED_WAREHOUSE,
+               SPARK_DRIVER_MEM="32g")
+    subprocess.run([sys.executable, "-c", gen], check=True, timeout=2400,
+                   capture_output=True, env=env)
+
+
 def merge_history(lo: dict, hi: dict) -> tuple[dict, dict]:
     """Min-merge each tier's times (and max-merge rates) over history rows
     whose workload tag matches the current one."""
@@ -214,15 +276,19 @@ def merge_history(lo: dict, hi: dict) -> tuple[dict, dict]:
 
 def main() -> None:
     if "--report-only" in sys.argv:
-        # regenerate the report purely from history (no Spark runs)
+        # regenerate the report purely from history (no Spark runs);
+        # base = last FULL run (partial rows from single-tier re-measures
+        # carry only their own keys)
         rows = [json.loads(line) for line in open(HISTORY)]
-        lo, hi = merge_history(rows[-1]["local8"], rows[-1]["local32"])
+        full = [r for r in rows if "daily_rollup_sec" in r.get("local8", {})]
+        lo, hi = merge_history(full[-1]["local8"], full[-1]["local32"])
         write_report(1_000_000, int(os.environ.get("SCALING_ROUNDS", "3")), lo, hi)
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     os.makedirs("/dev/shm/spark", exist_ok=True)
     _gen(n_docs, DATA_1X)
     _gen(32 * n_docs, DATA_NARROW, narrow=True)
+    _gen_bucketed()
 
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     lo_runs, hi_runs = [], []
@@ -265,7 +331,12 @@ def write_report(n_docs: int, rounds: int, lo: dict, hi: dict) -> None:
         "local8": lo,
         "local32": hi,
     }
-    for tier, _ in RATE_TIERS:
+    present = [
+        (t, desc)
+        for t, desc in RATE_TIERS
+        if f"rows_per_sec_{t}" in lo and f"rows_per_sec_{t}" in hi
+    ]
+    for tier, _ in present:
         report[f"scaling_efficiency_{tier}"] = round(eff(tier), 3)
     print(json.dumps(report))
 
@@ -274,7 +345,7 @@ def write_report(n_docs: int, rounds: int, lo: dict, hi: dict) -> None:
         f"| {desc} | {lo[f'{t}_sec']:.2f} | {hi[f'{t}_sec']:.2f} "
         f"| {lo[f'rows_per_sec_{t}']:.0f} | {hi[f'rows_per_sec_{t}']:.0f} "
         f"| {eff(t):.3f} |"
-        for t, desc in RATE_TIERS
+        for t, desc in present
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
@@ -314,17 +385,32 @@ Reading the numbers honestly:
   It bounds the box: no shuffle-bearing job can scale better than pure
   compute on shared DRAM.
 - **scan_narrow** is the calibration tier: it does NOTHING but read 32M
-  pruned rows, and still shows ~0.44 — because at ~1 s the job IS the
+  pruned rows, and still shows ~0.55 — because at ~1 s the job IS the
   ~0.7 s fixed floor (scheduling + stage setup). Any tier whose local[32]
   time is ≲3 s (backfill 2.9 s, row_features 2.5 s) is floor-dominated
   and its ratio reads the floor, not the engine.
-- **feature_vectors** (the north-rule window tier, 0.57 at 14.5 s→6.4 s)
+- **feature_vectors** (the north-rule window tier, ~0.59 at 14.3 s→6.0 s)
   pushes 32M narrow rows through one hash exchange + sort. The gap to
   0.84 is the exchange sharing one guest's memory channels across 32
   threads; on a real N→4N cluster each executor adds its own channels
   and shuffle bandwidth. The property that transfers is the plan shape:
   one exchange, uniform keys, AQE-splittable partitions, token arrays
   never read (pruned at scan).
+- **feature_vectors_prelayout** is the SAME window workload over the
+  persisted bucketed layout (`write_bucketed_layout`: CLUSTERED BY
+  entity, SORTED BY (entity, ts, doc_id)) at 128M rows — 4× the
+  exchange tier, keeping the job ~20 s so the ratio is read above the
+  fixed floor. The scan's HashPartitioning(entity) satisfies the
+  window's distribution and the declared sort order its ordering, so
+  the physical plan has **zero Exchange and zero Sort** (asserted in
+  tests/test_layout.py). Result: ~3.3× the exchange tier's per-row
+  throughput at BOTH levels. Its thread ratio (~0.6) matches the pure
+  scan's own floor-adjusted ratio — i.e. the plan adds NO scaling
+  overhead beyond moving bytes through one box's shared DRAM; compute
+  (sequence_features, 0.84) is what an added executor actually brings.
+  This is the engine's layout-reuse answer at 10^12 rows: pay the
+  entity shuffle once at ingest, then every feature pass is map-shaped
+  and embarrassingly parallel across executors.
 - **backfill** went from 51 s (generic bucketized as-of join, 0.30) to
   4.7 s via hierarchical aggregation — at 10^12 rows THAT, not the
   thread ratio of a 3-second job, is the scaling story: shuffle bounded

@@ -61,6 +61,20 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("--num-hashes", type=int, default=8)
     p_dd.add_argument("--band-size", type=int, default=2)
 
+    p_lay = sub.add_parser(
+        "layout",
+        help="ingest: persist the entity-bucketed sorted layout "
+        "(windows/as-of passes over it then plan with zero Exchange)",
+    )
+    p_lay.add_argument("--input", required=True, help="parquet path or iceberg:<table>")
+    p_lay.add_argument("--table", required=True, help="target catalog table name")
+    p_lay.add_argument("--entity-col", default="writer_id")
+    p_lay.add_argument("--ts-col", default="ts")
+    p_lay.add_argument("--tiebreak-col", default="doc_id")
+    p_lay.add_argument("--buckets", type=int, default=64)
+    p_lay.add_argument("--master", default=None)
+    p_lay.add_argument("--partitions", type=int, default=None)
+
     p_pack = sub.add_parser("corpus-pack", help="token-budget sequence packing")
     add_io(p_pack)
     p_pack.add_argument("--budget", type=int, default=2048)
@@ -81,6 +95,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"mhealth_spark-{args.cmd}", master=args.master,
                       shuffle_partitions=args.partitions)
     df = read_table(spark, args.input)
+
+    if args.cmd == "layout":
+        from mhealth_spark.source import write_bucketed_layout
+
+        write_bucketed_layout(
+            df,
+            args.table,
+            buckets=args.buckets,
+            entity_col=args.entity_col,
+            ts_col=args.ts_col,
+            tiebreak_col=args.tiebreak_col,
+        )
+        print(f"layout written: {args.table} ({args.buckets} buckets)")
+        spark.stop()
+        return 0
 
     if args.cmd == "tokens-backfill":
         from mhealth_spark.tokens_engine import backfill_features, hourly_requests

@@ -14,6 +14,7 @@ Scale posture (tuned for a multi-executor cluster, exercised on
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,15 @@ def get_spark(
         # 128 MB input splits: at 100 TB this yields ~800k tasks, the
         # right granularity for a 1000-executor cluster.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # bucketed-layout tables (write_bucketed_layout) land here in the
+        # sandbox; a real cluster's Hive/Glue catalog supplies its own.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "mhealth_spark_warehouse"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -81,6 +81,82 @@ def write_table(
     w.parquet(ref)
 
 
+def write_bucketed_layout(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "doc_id",
+    single_file_buckets: bool = True,
+) -> None:
+    """Materialize the PERSISTED entity layout: a bucketed table clustered
+    by entity, sorted by (entity, ts, tiebreak).
+
+    This is the durable version of ``layout_events``: instead of paying
+    one exchange per job, the exchange is paid ONCE at write time and
+    every later window / as-of / sessionize op over the table runs with
+    **no Exchange at all** — the scan's ``HashPartitioning(entity)``
+    already satisfies the window's required distribution, so Spark elides
+    the shuffle (asserted by ``tests/test_layout.py`` on the physical
+    plan). At 10^12 rows this removes the dominant cost of every
+    feature-engineering pass over the corpus.
+
+    With ``single_file_buckets`` (one file per bucket via a pre-write
+    repartition) the ``SORTED BY`` metadata also elides the window's
+    local sort when ``sorted_bucket_scan(spark)`` is on. At 100 TB a
+    bucket spans many files, so only the EXCHANGE elision transfers —
+    the per-partition sort remains, but it is a spill-free merge of
+    sorted runs, not a full sort. The Iceberg equivalent is a
+    ``bucket(N, entity)`` partition spec + sorted data files
+    (``write_table`` is the seam when that runtime is present).
+    """
+    sort_cols = list(dict.fromkeys([entity_col, ts_col, tiebreak_col]))
+    w = df.write.mode("overwrite")
+    if single_file_buckets:
+        w = df.repartition(buckets, F.col(entity_col)).write.mode("overwrite")
+    w.bucketBy(buckets, entity_col).sortBy(*sort_cols).saveAsTable(table)
+
+
+def register_bucketed_layout(
+    spark: SparkSession,
+    table: str,
+    location: str,
+    schema_ddl: str,
+    buckets: int = 64,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "doc_id",
+) -> None:
+    """Register an EXISTING bucketed-layout directory in this session's
+    catalog (the in-memory catalog does not persist across processes; on
+    a real cluster the Hive/Glue/Iceberg catalog makes this a no-op).
+
+    ``location`` must hold files written by ``write_bucketed_layout``
+    (bucket ids are encoded in the file names; Spark trusts the declared
+    CLUSTERED BY spec). ``schema_ddl`` is the column list, e.g.
+    ``"doc_id BIGINT, writer_id STRING, ts TIMESTAMP_NTZ, n_tok INT"``.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({entity_col}) "
+        f"SORTED BY ({entity_col}, {ts_col}, {tiebreak_col}) "
+        f"INTO {buckets} BUCKETS LOCATION '{location}'"
+    )
+
+
+def sorted_bucket_scan(spark: SparkSession, enabled: bool = True) -> None:
+    """Advertise bucket sort order from the scan (elides the window's
+    local sort). Safe only while each bucket is ONE file — Spark checks
+    this and quietly keeps the sort otherwise, so enabling it is never
+    incorrect, just ineffective on multi-file buckets."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true" if enabled else "false",
+    )
+
+
 def layout_events(
     df: DataFrame,
     entity_col: str = "user_id",

@@ -8,6 +8,9 @@ ops so a backfill (batch) and the live stream produce the same features:
   the late-data bound (the streaming face of the leakage guard: events
   later than the watermark never mutate an emitted window).
 - ``stream_sessionize``    — I-family gap sessions via ``session_window``.
+- ``stream_rolling_features`` — the W5/north-rule feature surface as a
+  CUSTOM STATEFUL operator (``applyInPandasWithState``): O(K) state per
+  entity, event-time timeout, exact agreement with the batch window op.
 - ``stream_asof_enrich``   — stream-static as-of enrichment (each stream
   row joined to the latest static dimension row at-or-before its ts is
   approximated by broadcast equi-join on the entity + filter; exact
@@ -100,6 +103,120 @@ def stream_exact_dedup(
     )
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [fingerprint_col]
+    )
+
+
+def stream_rolling_features(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_rows: int = 10,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Stateful streaming twin of ``tokens_engine.feature_vectors``:
+    per-entity lag/delta/rolling aggregates with ``applyInPandasWithState``.
+
+    Custom state per entity is exactly the rolling frame: the last
+    ``lookback_rows`` token counts plus the previous event's timestamp —
+    O(K) bytes per entity regardless of stream length, expired via
+    event-time timeout ``state_ttl_ms`` past the watermark (at 10^8
+    entities the alternative, unbounded keyed state, is not operable).
+
+    Semantics vs the batch op: identical columns EXCEPT ``next_n_tok`` —
+    a causal stream cannot see the future row, so the lead column is
+    batch-only. Rows are sorted (ts, doc_id) within each microbatch;
+    across microbatches an entity's rows must arrive in ts order (the
+    file/Kafka source's per-partition order) — already-emitted rows are
+    immutable, so an out-of-order straggler inside the watermark still
+    computes ITS OWN features against the state as-of arrival. The batch
+    operator over the full table is the exact backstop
+    (tests/test_streaming.py asserts stream == batch on in-order input
+    split across microbatches).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    K = lookback_rows
+    # the watermark machinery requires TIMESTAMP (not NTZ); session tz is
+    # pinned UTC (session.py) so the cast is lossless
+    tokens = tokens.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    out_schema = (
+        f"doc_id string, {entity_col} string, {ts_col} timestamp, n_tok int, "
+        "prev_n_tok int, delta_n_tok int, roll_mean_n_tok double, "
+        "roll_sum_n_tok bigint, roll_count int, gap_us bigint"
+    )
+    state_schema = "tail array<int>, last_ts_us bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tail: list[int] = []
+        last_ts = None
+        if state.exists:
+            tail_raw, last_ts = state.get
+            tail = list(tail_raw)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, "doc_id"], kind="mergesort")
+            n = pdf["n_tok"].to_numpy(dtype="int64")
+            ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+            seed = np.asarray(tail, dtype="int64")
+            m = len(seed)
+            allv = np.concatenate([seed, n])
+            # rolling (-K, -1] frame over seed+batch via cumsum diffs
+            c = np.concatenate([[0], np.cumsum(allv)])
+            idx = m + np.arange(len(n))
+            lo = np.clip(idx - K, 0, None)
+            roll_sum = c[idx] - c[lo]
+            roll_count = (idx - lo).astype("int64")
+            prev = np.where(idx >= 1, allv[np.maximum(idx - 1, 0)], 0)
+            has_prev = idx >= 1
+            prev_ts = np.empty(len(n), dtype="int64")
+            prev_ts[1:] = ts_us[:-1]
+            prev_ts[0] = last_ts if last_ts is not None else 0
+            has_prev_ts = np.ones(len(n), dtype=bool)
+            if last_ts is None:
+                has_prev_ts[0] = False
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    entity_col: pdf[entity_col].to_numpy(),
+                    ts_col: pdf[ts_col].to_numpy(),
+                    "n_tok": pdf["n_tok"].to_numpy(),
+                    "prev_n_tok": pd.array(
+                        np.where(has_prev, prev, 0), dtype="Int32"
+                    ),
+                    "delta_n_tok": pd.array(
+                        np.where(has_prev, n - prev, 0), dtype="Int32"
+                    ),
+                    "roll_mean_n_tok": np.where(
+                        roll_count > 0, roll_sum / np.maximum(roll_count, 1), np.nan
+                    ),
+                    "roll_sum_n_tok": pd.array(roll_sum, dtype="Int64"),
+                    "roll_count": pd.array(roll_count, dtype="Int32"),
+                    "gap_us": pd.array(ts_us - prev_ts, dtype="Int64"),
+                }
+            )
+            out.loc[~has_prev, ["prev_n_tok", "delta_n_tok"]] = None
+            out.loc[roll_count == 0, "roll_sum_n_tok"] = None
+            out.loc[~has_prev_ts, "gap_us"] = None
+            tail = list(allv[-K:]) if K else []
+            last_ts = int(ts_us[-1])
+            yield out
+        if last_ts is not None:
+            state.update((list(map(int, tail)), last_ts))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+
+    return (
+        tokens.withWatermark(ts_col, watermark)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )
 
 

@@ -1,0 +1,101 @@
+"""Persisted bucketed entity layout: plan-level proof that windows over a
+``write_bucketed_layout`` table run with NO Exchange (and, with
+``sorted_bucket_scan``, no Sort), plus value parity with the plain path.
+
+This is the durable form of the engine's layout contract (SURVEY §4 /
+``source.layout_events``): pay the entity shuffle once at write time,
+then every window / as-of / sessionize pass over 10^12 rows is
+exchange-free. Reference analogue: the reference re-sorts per call
+(``simple_features.py:257,663,740``); here the sort lives in the table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mhealth_spark.source import (
+    register_bucketed_layout,
+    sorted_bucket_scan,
+    write_bucketed_layout,
+)
+from mhealth_spark.synth import synth_tokens
+from mhealth_spark.tokens_engine import feature_vectors
+
+SCHEMA_DDL = "doc_id STRING, writer_id STRING, ts TIMESTAMP_NTZ, n_tok INT"
+
+
+@pytest.fixture(scope="module")
+def layout_table(spark):
+    tk = synth_tokens(spark, 20_000, seed=7).select(
+        "doc_id", "writer_id", "ts", "n_tok"
+    )
+    write_bucketed_layout(tk, "tk_layout_test", buckets=8)
+    yield "tk_layout_test"
+    spark.sql("DROP TABLE IF EXISTS tk_layout_test")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_window_elides_exchange_and_sort(spark, layout_table):
+    sorted_bucket_scan(spark, True)
+    try:
+        out = feature_vectors(spark.table(layout_table))
+        plan = _plan(out)
+        assert "Exchange" not in plan, plan
+        assert not re.search(r"\bSort\b", plan), plan
+        assert "Bucketed: true" in plan
+    finally:
+        sorted_bucket_scan(spark, False)
+
+
+def test_bucketed_window_value_parity(spark, layout_table):
+    tk = synth_tokens(spark, 20_000, seed=7).select(
+        "doc_id", "writer_id", "ts", "n_tok"
+    )
+    plain = sorted(map(tuple, feature_vectors(tk).collect()))
+    sorted_bucket_scan(spark, True)
+    try:
+        bucketed = sorted(
+            map(tuple, feature_vectors(spark.table(layout_table)).collect())
+        )
+    finally:
+        sorted_bucket_scan(spark, False)
+    assert plain == bucketed
+    assert len(plain) == 20_000
+
+
+def test_plain_window_pays_the_exchange_bucketed_does_not(spark, layout_table):
+    # the control: same query off plain parquet-shaped input carries one
+    # hash exchange; the bucketed layout carries zero
+    tk = synth_tokens(spark, 20_000, seed=7).select(
+        "doc_id", "writer_id", "ts", "n_tok"
+    )
+    assert "Exchange" in _plan(feature_vectors(tk))
+    assert "Exchange" not in _plan(feature_vectors(spark.table(layout_table)))
+
+
+def test_register_existing_layout_keeps_bucketing(spark, layout_table):
+    # find where the managed table lives, then register an EXTERNAL table
+    # over the same files (the cross-process path: in-memory catalogs die
+    # with the session, the data files do not)
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {layout_table}")
+        .where("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    register_bucketed_layout(
+        spark, "tk_layout_ext", loc, SCHEMA_DDL, buckets=8
+    )
+    try:
+        plan = _plan(feature_vectors(spark.table("tk_layout_ext")))
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        n = spark.table("tk_layout_ext").count()
+        assert n == 20_000
+    finally:
+        # external table: drop removes only the catalog entry
+        spark.sql("DROP TABLE IF EXISTS tk_layout_ext")

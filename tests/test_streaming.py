@@ -107,3 +107,79 @@ def test_stream_exact_dedup_first_arrival(spark, tmp_path):
     other_group = {f"d{i}" for i, t in enumerate(texts * 4) if "quick" not in t}
     ids = set(got["doc_id"])
     assert len(ids & dup_group) == 1 and len(ids & other_group) == 1
+
+
+def test_stream_rolling_features_matches_batch_across_microbatches(spark, tmp_path):
+    """stream_rolling_features (applyInPandasWithState): two microbatches
+    (maxFilesPerTrigger=1, files split on ts) must agree with the batch
+    feature_vectors on every shared column — i.e. the carried state (last
+    K counts + last ts) exactly reconstructs the batch rolling frame."""
+    from mhealth_spark.streaming import stream_rolling_features
+    from mhealth_spark.tokens_engine import feature_vectors
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for w in ["w1", "w2", "w3"]:
+        for i in range(40):
+            rows.append(
+                dict(
+                    doc_id=f"{w}-d{i:03d}",
+                    writer_id=w,
+                    ts=base + dt.timedelta(minutes=13 * i + (3 if w == "w2" else 0)),
+                    n_tok=(i * 7) % 29 + 1,
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    cut = base + dt.timedelta(minutes=13 * 20)
+    path = tmp_path / "tk_stream"
+    path.mkdir()
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).withColumn("n_tok", F.col("n_tok").cast("int"))
+    early = sdf.where(F.col("ts") < F.lit(cut))
+    late = sdf.where(F.col("ts") >= F.lit(cut))
+    early.coalesce(1).write.parquet(str(path / "b0"))
+    import time as _t
+    _t.sleep(1.1)  # file-source ordering is by modification time
+    late.coalesce(1).write.parquet(str(path / "b1"))
+
+    schema = sdf.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path / "*"))
+    )
+    out = stream_rolling_features(stream, lookback_rows=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_roll")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM t_roll")
+        .toPandas()
+        .sort_values(["writer_id", "ts", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        feature_vectors(sdf, lookback_rows=5)
+        .drop("next_n_tok")
+        .toPandas()
+        .sort_values(["writer_id", "ts", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 120
+    for col in [
+        "doc_id", "writer_id", "ts", "n_tok", "prev_n_tok", "delta_n_tok",
+        "roll_sum_n_tok", "roll_count", "gap_us",
+    ]:
+        ge, ee = got[col].to_numpy(), exp[col].to_numpy()
+        assert (pd.isna(ge) == pd.isna(ee)).all(), col
+        mask = ~pd.isna(ge)
+        assert (ge[mask] == ee[mask]).all(), col
+    import numpy as np
+    g, e = got["roll_mean_n_tok"].to_numpy(float), exp["roll_mean_n_tok"].to_numpy(float)
+    assert np.allclose(g, e, equal_nan=True)
