@@ -69,6 +69,7 @@ WORKLOAD_TAGS = {
     "row_features": "1m-joinback-v1",
     "feature_vectors": "32m-window-v1",
     "feature_vectors_prelayout": "128m-bucketed-v1",
+    "row_features_prelayout": "1m-bucketed-payload-v1",
     "backfill": "32m-grid-v1",
     "scan_narrow": "32m-scan-v1",
     "daily_rollup": "32m-salted-v1",
@@ -84,6 +85,14 @@ BUCKETED_TABLE = "tk_b128m"
 BUCKETED_N = 128_000_000
 BUCKETED_BUCKETS = 64
 BUCKETED_DDL = "doc_id STRING, writer_id STRING, ts TIMESTAMP_NTZ, n_tok INT"
+# payload twin: the FULL token table in entity layout — row_features with
+# payload_join=False over it is end-to-end ZERO-shuffle (the ~2 KB token
+# arrays never leave their scan partition)
+PAYLOAD_TABLE = "tk_b1m_payload"
+PAYLOAD_DDL = (
+    "doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING, "
+    "writer_id STRING, ts TIMESTAMP_NTZ"
+)
 
 WORKER = r"""
 import json, os, sys, time
@@ -130,6 +139,11 @@ sorted_bucket_scan(spark, True)
 results["feature_vectors_prelayout_sec"] = timed(
     lambda: feature_vectors(spark.table({btable!r})))
 n_rows_bucketed = spark.table({btable!r}).count()
+register_bucketed_layout(spark, {ptable!r}, {ploc!r}, {pddl!r},
+                         buckets={bbuckets})
+sorted_bucket_scan(spark, True)
+results["row_features_prelayout_sec"] = timed(
+    lambda: row_features(spark.table({ptable!r}), payload_join=False))
 sorted_bucket_scan(spark, False)
 results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
 n_rows_1x = tokens_1x.count()
@@ -150,6 +164,8 @@ results["n_rows_bucketed"] = n_rows_bucketed
 results["rows_per_sec_feature_vectors_prelayout"] = (
     n_rows_bucketed / results["feature_vectors_prelayout_sec"])
 results["rows_per_sec_row_features"] = n_rows_1x / results["row_features_sec"]
+results["rows_per_sec_row_features_prelayout"] = (
+    n_rows_1x / results["row_features_prelayout_sec"])
 results["rows_per_sec_backfill"] = n_reqs / results["backfill_sec"]
 results["rows_per_sec_scan_narrow"] = n_rows_nw / results["scan_narrow_sec"]
 print("RESULT " + json.dumps(results))
@@ -163,6 +179,7 @@ RATE_TIERS = [
     ("backfill", "point-in-time 24h backfill grid (32M narrow rows, hierarchical agg)"),
     ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
+    ("row_features_prelayout", "pass-through over bucketed payload layout (ZERO shuffle end-to-end)"),
 ]
 
 
@@ -180,6 +197,9 @@ def run_level(cores: int) -> dict:
         bloc=os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE),
         bddl=BUCKETED_DDL,
         bbuckets=BUCKETED_BUCKETS,
+        ptable=PAYLOAD_TABLE,
+        ploc=os.path.join(BUCKETED_WAREHOUSE, PAYLOAD_TABLE),
+        pddl=PAYLOAD_DDL,
     )
     env = dict(os.environ, SPARK_DRIVER_MEM="32g")
     proc = subprocess.Popen(
@@ -230,8 +250,13 @@ def _gen_bucketed() -> None:
     narrow rows; pays the entity exchange at write time). Every worker
     then registers the existing files — tests/test_layout.py covers the
     register path."""
-    loc = os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE)
-    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+    need_narrow = not os.path.exists(
+        os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE, "_SUCCESS")
+    )
+    need_payload = not os.path.exists(
+        os.path.join(BUCKETED_WAREHOUSE, PAYLOAD_TABLE, "_SUCCESS")
+    )
+    if not (need_narrow or need_payload):
         return
     gen = f"""
 import sys; sys.path.insert(0, {REPO!r})
@@ -240,9 +265,13 @@ from mhealth_spark.source import write_bucketed_layout
 from mhealth_spark.synth import synth_tokens
 spark = get_spark("gen-bucketed", master="local[32]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-nw = synth_tokens(spark, {BUCKETED_N}, seed=42).select(
-    "doc_id", "writer_id", "ts", "n_tok")
-write_bucketed_layout(nw, {BUCKETED_TABLE!r}, buckets={BUCKETED_BUCKETS})
+if {need_narrow}:
+    nw = synth_tokens(spark, {BUCKETED_N}, seed=42).select(
+        "doc_id", "writer_id", "ts", "n_tok")
+    write_bucketed_layout(nw, {BUCKETED_TABLE!r}, buckets={BUCKETED_BUCKETS})
+if {need_payload}:
+    pl = spark.read.parquet({DATA_1X!r})
+    write_bucketed_layout(pl, {PAYLOAD_TABLE!r}, buckets={BUCKETED_BUCKETS})
 spark.stop()
 """
     env = dict(os.environ, SPARK_WAREHOUSE_DIR=BUCKETED_WAREHOUSE,
@@ -420,6 +449,13 @@ Reading the numbers honestly:
   here (measured). The engine keeps the payload OUT of the skewed window
   exchange (narrow window + uniform-key shuffled-hash join back); heavy
   writers never pin a reducer and doc_id join keys are unskewed.
+- **row_features_prelayout** stores the FULL payload table in the entity
+  layout and runs the pass-through with `payload_join=False`: an
+  end-to-end ZERO-shuffle plan — the ~2 KB token arrays never leave
+  their scan partition, no join, no exchange, no sort. At 10^12 rows
+  this is the cheapest possible feature pass; its single-box thread
+  ratio reads the same payload-bandwidth wall as row_features, which is
+  per-node on a real cluster.
 
 Reference single-node baseline (BASELINE.md): 615.5 s wall, 2.58 GB RSS,
 77% interpreted-Python CPU for the author's full-cohort pandas run — the

@@ -534,6 +534,38 @@ def tokens_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokens_trailing_24h",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok FROM {_TOKENS_DUCK})
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           CAST(count(n_tok) OVER w AS BIGINT) AS trail_docs_24h,
+           CAST(sum(n_tok)  OVER w AS BIGINT)  AS trail_tokens_24h,
+           round(avg(n_tok) OVER w, 6)         AS trail_mean_24h,
+           max(n_tok) OVER w                   AS trail_max_24h
+    FROM t
+    WINDOW w AS (PARTITION BY writer_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def tokens_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE trailing window twin of tokens_row_features (strictly
+    past [t-24h, t) frame; ties at t excluded on both engines)."""
+    from mhealth_spark.tokens_engine import trailing_time_features
+
+    out = trailing_time_features(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        "trail_docs_24h",
+        "trail_tokens_24h",
+        F.round("trail_mean_24h", 6).alias("trail_mean_24h"),
+        "trail_max_24h",
+    )
+
+
 _BACKFILL_ORACLE = f"""
     WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
     span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,

@@ -102,6 +102,10 @@ def write_bucketed_layout(
     plan). At 10^12 rows this removes the dominant cost of every
     feature-engineering pass over the corpus.
 
+    Two co-bucketed tables also SMJ-join with no shuffle when the join
+    keys EQUAL the bucket columns (a strict superset makes the planner
+    drop the bucketed scan — tests/test_layout.py demonstrates both).
+
     With ``single_file_buckets`` (one file per bucket via a pre-write
     repartition) the ``SORTED BY`` metadata also elides the window's
     local sort when ``sorted_bucket_scan(spark)`` is on. At 100 TB a

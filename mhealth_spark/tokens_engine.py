@@ -126,6 +126,40 @@ def feature_vectors(
     )
 
 
+def trailing_time_features(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_hours: float = 24.0,
+) -> DataFrame:
+    """Time-based trailing aggregates per (entity, ts): the RANGE-frame
+    twin of ``feature_vectors``'s ROWS frame. Every aggregate sees only
+    rows with ts in ``[t - lookback, t)`` — strictly past (ties at t are
+    excluded), so the zero-leakage guarantee is structural here too.
+
+    Same scale shape as ``feature_vectors``: narrow projection, one hash
+    exchange (zero over a ``write_bucketed_layout`` table), monotonic
+    long order key so the range frame is a sliding pointer, not a
+    re-scan. Reference analogue: the hourly/daily lookback aggregations
+    of ``simple_features.py`` expressed per-row instead of per-bin.
+    """
+    narrow = tokens.select("doc_id", entity_col, ts_col, "n_tok")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lb = int(lookback_hours * 3_600_000_000)
+    w = Window.partitionBy(entity_col).orderBy(us).rangeBetween(-lb, -1)
+    n = F.col("n_tok")
+    return narrow.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        "n_tok",
+        F.count(n).over(w).alias(f"trail_docs_{int(lookback_hours)}h"),
+        F.sum(n).over(w).alias(f"trail_tokens_{int(lookback_hours)}h"),
+        F.avg(n).over(w).alias(f"trail_mean_{int(lookback_hours)}h"),
+        F.max(n).over(w).alias(f"trail_max_{int(lookback_hours)}h"),
+    )
+
+
 def sequence_features(tokens: DataFrame) -> DataFrame:
     """Map-only per-sequence feature vector (no shuffle: scan → project):
     length, token-id moments, distinct ratio, rolling fingerprint. This is
@@ -174,10 +208,24 @@ def sessionized(
     entity_col: str = "writer_id",
     ts_col: str = "ts",
     gap_minutes: float = 60.0,
+    prelayout: bool = False,
 ) -> DataFrame:
-    """Gap-sessionize arrivals per entity and roll up per session."""
+    """Gap-sessionize arrivals per entity and roll up per session.
+
+    ``prelayout=True`` skips the explicit entity exchange for inputs
+    already clustered by entity (``write_bucketed_layout`` tables /
+    ``layout_events`` output): the session window AND the rollup groupBy
+    both ride the existing layout — the whole plan is exchange-free
+    (HashPartitioning(entity) satisfies clustering on (entity,
+    session_id) too; asserted in tests/test_layout.py).
+    """
+    src = (
+        tokens
+        if prelayout
+        else layout_events(tokens, entity_col=entity_col, ts_col=ts_col)
+    )
     s = sessionize(
-        layout_events(tokens, entity_col=entity_col, ts_col=ts_col),
+        src,
         entity_col=entity_col,
         start_col=ts_col,
         end_col=None,

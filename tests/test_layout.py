@@ -78,6 +78,62 @@ def test_plain_window_pays_the_exchange_bucketed_does_not(spark, layout_table):
     assert "Exchange" not in _plan(feature_vectors(spark.table(layout_table)))
 
 
+def test_bucketed_sessionize_whole_plan_exchange_free(spark, layout_table):
+    # window (clustering on entity) AND session rollup groupBy
+    # (clustering on (entity, session_id) ⊇ entity) both ride the layout
+    from mhealth_spark.tokens_engine import sessionized
+
+    out = sessionized(spark.table(layout_table), prelayout=True)
+    assert "Exchange" not in _plan(out), _plan(out)
+    # value parity with the generic (layout_events) path
+    tk = synth_tokens(spark, 20_000, seed=7).select(
+        "doc_id", "writer_id", "ts", "n_tok"
+    )
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, sessionized(tk).collect()))
+    assert a == b
+
+
+def test_trailing_time_features_bucketed_exchange_free(spark, layout_table):
+    from mhealth_spark.tokens_engine import trailing_time_features
+
+    assert "Exchange" not in _plan(
+        trailing_time_features(spark.table(layout_table))
+    )
+
+
+def test_colocated_join_of_two_bucketed_tables_exchange_free(spark, layout_table):
+    # the co-partitioned join pattern: feature output written back into
+    # the SAME bucketing joins against the corpus with zero exchange
+    import pyspark.sql.functions as F
+
+    # per-writer rollup off the bucketed table (groupBy rides the layout),
+    # persisted in the SAME bucketing — the join key must EQUAL the bucket
+    # columns for the co-located scan (a strict superset disables it)
+    stats = (
+        spark.table(layout_table)
+        .groupBy("writer_id")
+        .agg(F.sum("n_tok").alias("writer_tokens"))
+    )
+    write_bucketed_layout(
+        stats, "tk_layout_feats", buckets=8,
+        ts_col="writer_id", tiebreak_col="writer_id",
+    )
+    try:
+        # hint MERGE: at real scale both sides are huge and SMJ is the
+        # planner's choice; broadcast (picked for this tiny table) would
+        # bypass — not exercise — the co-located path
+        joined = spark.table(layout_table).hint("MERGE").join(
+            spark.table("tk_layout_feats"), ["writer_id"]
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 20_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tk_layout_feats")
+
+
 def test_register_existing_layout_keeps_bucketing(spark, layout_table):
     # find where the managed table lives, then register an EXTERNAL table
     # over the same files (the cross-process path: in-memory catalogs die
