@@ -418,3 +418,89 @@ def embedding_neardup_bruteforce(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → one
+    ``cluster_id`` (the minimum member id) per involved document.
+
+    The missing middle of every fuzzy-dedup pipeline: LSH emits PAIRS,
+    retention needs CLUSTERS (A~B, B~C must collapse to one survivor even
+    when A~C was never emitted). Iterative min-label propagation:
+    ``label := min(label, min(neighbor labels))`` per round — pure
+    DataFrame joins/groupBys, converges in O(cluster diameter) rounds
+    (near-dup clusters are shallow; the 10^12-row posture is a handful of
+    rounds over a pair table that is tiny relative to the corpus). Each
+    round is localCheckpoint-truncated so the plan does not grow with
+    iterations. Raises if ``max_iter`` is hit without convergence rather
+    than returning half-merged clusters.
+
+    Only documents that appear in ``pairs`` are returned; singleton docs
+    are their own implicit cluster (see ``dedup_survivors``).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds "
+        "(pathological chain in the pair graph; raise max_iter)"
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the minimum id — i.e. the
+    cluster_id itself) plus every singleton untouched: anti-join the
+    non-survivor members. ``components`` is ``neardup_components`` output."""
+    losers = components.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

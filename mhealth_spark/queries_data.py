@@ -170,9 +170,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_PAIRS_SQL = f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM d WHERE len(w) > 0),
     sig AS (SELECT doc_id,
@@ -193,12 +191,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    """,
-)
+"""
+
+# transitive closure of the SAME pair set: cluster id = min reachable id
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE p AS ({_MINHASH_PAIRS_SQL}),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    walk(node, reach) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN e ON w.reach = e.a)
+    SELECT node AS doc_id, min(reach) AS cluster_id
+    FROM walk GROUP BY node
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 tier pinned here for byte-identical DuckDB parity; the engine
     # default (and the bench scale path) is hash_fn="xxh".
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash pair graph (iterative
+    min-label propagation vs DuckDB recursive-CTE transitive closure)."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
+    return dedup.neardup_components(pairs)
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH comp AS ({_COMPONENTS_SQL})
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    LEFT JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL OR comp.doc_id = comp.cluster_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One retained doc per near-dup cluster + all singletons."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(docs, hash_fn="md5")
+    comp = dedup.neardup_components(pairs)
+    return dedup.dedup_survivors(docs, comp).select("doc_id", "n_chars")
 
 
 _SIMHASH16_EXPR = " + ".join(

@@ -303,3 +303,59 @@ def test_multimodal_decode_values_exact(spark):
             np.array(got.loc[str(doc_id), "feature"], dtype=np.float32), exp
         )
         assert got.loc[str(doc_id), "n_bytes"] == len(payload)
+
+
+def test_rolling_fingerprint64_properties(spark):
+    """Value-level characterization for the xxhash64 rolling fingerprint
+    (no DuckDB twin): per-step chain parity against Spark's own xxhash64,
+    plus the dedup-key contract — equal iff normalized word sequences are
+    equal, order-sensitive, whitespace-invariant, partitioning-invariant."""
+    from mhealth_spark.pipelines.text import rolling_fingerprint_xxh
+
+    rows = [
+        ("a", "the quick brown fox"),
+        ("b", "the  quick   brown fox"),     # whitespace → same as a
+        ("c", "quick the brown fox"),        # order → different
+        ("d", "the quick brown"),            # prefix → different
+        ("e", "the quick brown fox"),        # duplicate of a
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = rolling_fingerprint_xxh(df).toPandas().set_index("doc_id")["fingerprint64"]
+    assert fp["a"] == fp["b"] == fp["e"]
+    assert len({fp["a"], fp["c"], fp["d"]}) == 3
+
+    # chain parity: fold recomputed step-by-step with Spark's xxhash64
+    seed = 1469598103934665603
+    acc = spark.createDataFrame([(seed,)], ["acc"])
+    for w in ["the", "quick", "brown", "fox"]:
+        acc = acc.select(F.xxhash64(F.col("acc"), F.lit(w)).alias("acc"))
+    assert int(acc.collect()[0][0]) == int(fp["a"])
+
+    # partitioning must not change values
+    fp8 = (
+        rolling_fingerprint_xxh(df.repartition(8))
+        .toPandas().set_index("doc_id")["fingerprint64"]
+    )
+    assert (fp8.sort_index() == fp.sort_index()).all()
+
+
+def test_neardup_components_chain_and_survivors(spark):
+    """Transitive closure property: a 5-hop chain collapses to ONE cluster
+    even though only adjacent pairs were emitted; disjoint pair → its own
+    cluster; survivors = cluster minima + untouched singletons."""
+    from mhealth_spark.pipelines.dedup import dedup_survivors, neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.doc_id: r.cluster_id for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+    docs = spark.range(1, 15).withColumnRenamed("id", "doc_id")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_survivors(docs, neardup_components(pairs)).collect()
+    )
+    # chain keeps 1, pair keeps 10, singletons 7,8,9,12,13,14 untouched
+    assert kept == [1, 7, 8, 9, 10, 12, 13, 14]
