@@ -185,3 +185,53 @@ def dataset_manifest(
         F.max("n_tok").alias("len_max"),
         F.count_distinct("writer_id").alias("n_writers"),
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination, the flag pass: for each corpus document,
+    count distinct word n-gram shingles it shares with the benchmark/eval
+    set. A training document overlapping an eval set must be dropped or
+    the benchmark is compromised (the reason every serious corpus build
+    runs this).
+
+    Scale shape: the benchmark side is an eval suite — tiny by definition
+    — so its distinct shingles BROADCAST and the corpus side is a
+    map-side semi-join probe: no corpus shuffle at all until the final
+    per-doc count (bounded by contaminated docs, not the corpus). At
+    10^12 rows this is the only viable plan; a shuffle join on shingles
+    would move the whole corpus.
+    """
+    from mhealth_spark.pipelines.text import shingles_col
+
+    d_sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("g")
+    )
+    b_sh = benchmark.select(
+        F.explode(shingles_col(text_col, n)).alias("g")
+    ).distinct()
+    return (
+        d_sh.join(F.broadcast(b_sh), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_hits`` n-gram
+    shingles with the benchmark set (anti-join on the flag pass)."""
+    hits = contamination_hits(docs, benchmark, text_col, id_col, n)
+    dirty = hits.filter(F.col("n_contaminated") > max_hits).select(id_col)
+    return docs.join(dirty, id_col, "left_anti")

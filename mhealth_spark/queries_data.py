@@ -240,6 +240,32 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors(docs, comp).select("doc_id", "n_chars")
 
 
+@register(
+    "corpus_contamination",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM d WHERE len(w) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, g FROM ex WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_contaminated
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY 1
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination flag pass: corpus docs (doc_id %% 10 != 0)
+    sharing 5-gram shingles with the 'benchmark' split (doc_id %% 10 == 0);
+    broadcast semi-join — the benchmark side never shuffles the corpus."""
+    from mhealth_spark.pipelines.corpus import contamination_hits
+
+    docs = _docs(spark, sf_dir)
+    return contamination_hits(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
 _SIMHASH16_EXPR = " + ".join(
     f"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN "
     f"substr(md5(x), {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "

@@ -359,3 +359,24 @@ def test_neardup_components_chain_and_survivors(spark):
     )
     # chain keeps 1, pair keeps 10, singletons 7,8,9,12,13,14 untouched
     assert kept == [1, 7, 8, 9, 10, 12, 13, 14]
+
+
+def test_decontaminate_drops_exactly_the_flagged_docs(spark):
+    """decontaminate = corpus minus contamination_hits ids; the benchmark
+    side must broadcast (a shuffle join on shingles would move the whole
+    corpus at scale)."""
+    from mhealth_spark.pipelines.corpus import contamination_hits, decontaminate
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+
+    hits = contamination_hits(corpus_side, bench)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    flagged = {r.doc_id for r in hits.collect()}
+    kept = {r.doc_id for r in decontaminate(corpus_side, bench).select("doc_id").collect()}
+    assert flagged and flagged.isdisjoint(kept)
+    assert len(kept) == corpus_side.count() - len(flagged)
