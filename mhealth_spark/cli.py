@@ -75,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
     p_lay.add_argument("--master", default=None)
     p_lay.add_argument("--partitions", type=int, default=None)
 
+    p_decon = sub.add_parser(
+        "corpus-decontaminate",
+        help="drop corpus docs sharing n-gram shingles with a benchmark set",
+    )
+    add_io(p_decon)
+    p_decon.add_argument("--benchmark", required=True,
+                         help="parquet path or iceberg:<table> of the eval set")
+    p_decon.add_argument("--ngram", type=int, default=5)
+    p_decon.add_argument("--max-hits", type=int, default=0)
+
     p_pack = sub.add_parser("corpus-pack", help="token-budget sequence packing")
     add_io(p_pack)
     p_pack.add_argument("--budget", type=int, default=2048)
@@ -133,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out = minhash_lsh_candidates(
             df, num_hashes=args.num_hashes, band_size=args.band_size
+        )
+    elif args.cmd == "corpus-decontaminate":
+        from mhealth_spark.pipelines.corpus import decontaminate
+
+        out = decontaminate(
+            df,
+            read_table(spark, args.benchmark),
+            n=args.ngram,
+            max_hits=args.max_hits,
         )
     elif args.cmd == "corpus-pack":
         from mhealth_spark.pipelines.corpus import (

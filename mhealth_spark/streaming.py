@@ -22,6 +22,7 @@ All are plain DataFrame transformations: apply them to
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -217,6 +218,58 @@ def stream_rolling_features(
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Streaming-ingest twin of ``corpus.decontaminate``: drop stream
+    documents sharing word n-gram shingles with a benchmark/eval set.
+
+    The batch op's broadcast semi-join needs a per-doc aggregation the
+    append-mode stream cannot re-join onto itself, so the stream path
+    probes instead: the benchmark's shingle set (tiny by definition) is
+    collected ONCE and broadcast; an Arrow-vectorized pandas UDF counts
+    overlaps per document — state-free, no shuffle, each microbatch is
+    map-only. Shingling matches ``text.shingles_col`` exactly (whitespace
+    split, n-gram join, distinct), pytest-checked against the batch op.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from mhealth_spark.pipelines.text import shingles_col
+
+    bench_set = {
+        r.g
+        for r in benchmark.select(
+            F.explode(shingles_col(text_col, n)).alias("g")
+        )
+        .distinct()
+        .collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(bench_set)
+
+    @pandas_udf("int")
+    def n_hits(texts: pd.Series) -> pd.Series:
+        bset = bc.value
+
+        def count(t):
+            if t is None:
+                return 0
+            w = [x for x in t.split() if x]
+            if not w:
+                return 0
+            grams = {" ".join(w[i : i + n]) for i in range(max(len(w) - n, 0) + 1)}
+            return len(grams & bset)
+
+        return texts.map(count).astype("int32")
+
+    return docs.withColumn("n_contaminated", n_hits(F.col(text_col))).filter(
+        F.col("n_contaminated") <= max_hits
     )
 
 

@@ -183,3 +183,35 @@ def test_stream_rolling_features_matches_batch_across_microbatches(spark, tmp_pa
     import numpy as np
     g, e = got["roll_mean_n_tok"].to_numpy(float), exp["roll_mean_n_tok"].to_numpy(float)
     assert np.allclose(g, e, equal_nan=True)
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """stream_decontaminate (broadcast shingle probe) keeps exactly the
+    docs the batch decontaminate keeps."""
+    from mhealth_spark.pipelines.corpus import decontaminate
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_decontaminate
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+
+    path = str(tmp_path / "docs_stream")
+    corpus_side.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_decontaminate(stream, bench)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        spark.sql("SELECT doc_id FROM t_decon").toPandas()["doc_id"]
+    )
+    exp = {r.doc_id for r in decontaminate(corpus_side, bench).select("doc_id").collect()}
+    assert got == exp
+    assert len(got) < corpus_side.count()  # something was actually dropped
