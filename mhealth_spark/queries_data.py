@@ -20,7 +20,13 @@ _SHINGLES_SQL = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, "documents", sf_dir)
+    # the testdata parquet is ONE row group — unsplittable, so every text
+    # op downstream would run single-task. One cheap shuffle of the raw
+    # docs buys full-width parallel hashing (measured 3x on the dedup
+    # family at sf0.1). At scale the scan splits naturally by file/row
+    # group and this repartition is a no-op to remove.
+    docs = read_table(spark, "documents", sf_dir)
+    return docs.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
