@@ -30,7 +30,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, "embeddings", sf_dir)
+    # same single-row-group artifact as _docs: split before the vector math
+    emb = read_table(spark, "embeddings", sf_dir)
+    return emb.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
