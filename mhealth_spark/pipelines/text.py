@@ -124,3 +124,32 @@ def rolling_fingerprint_xxh(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, x: F.xxhash64(acc, x),
     )
     return df.withColumn("fingerprint64", fp)
+
+
+def shingles_all_col(text_col: str = "text", n: int = 5) -> Column:
+    """Word n-gram shingles WITHOUT dedup (repetition analysis needs the
+    multiplicity that ``shingles_col`` deliberately discards)."""
+    w = words_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return F.filter(sh, lambda s: s != F.lit(""))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition quality signals (the Gopher/RefinedWeb
+    repetition-filter family): fraction of duplicate word 2-grams and
+    5-grams inside each document. Machine-generated and boilerplate text
+    scores high; the standard pretraining filter drops docs above a
+    threshold. Pure JVM expressions — per-row array math, no shuffle."""
+    out = df.select(F.col(id_col), F.col(text_col))
+    for n in (2, 5):
+        grams = shingles_all_col(text_col, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        out = out.withColumn(f"n_grams_{n}", total).withColumn(
+            f"dup_gram_frac_{n}",
+            F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0)),
+        )
+    return out.drop(text_col)

@@ -125,6 +125,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rolling 64-bit fingerprint: Spark-only hash chain → rows-only check
+@register(
+    "text_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id,
+      list_filter(list_transform(
+        generate_series(1, greatest(len(w) - 1, 1)),
+        i -> array_to_string(w[i:i+1], ' ')), s -> s <> '') AS g2,
+      list_filter(list_transform(
+        generate_series(1, greatest(len(w) - 4, 1)),
+        i -> array_to_string(w[i:i+4], ' ')), s -> s <> '') AS g5
+      FROM d)
+    SELECT doc_id,
+      CAST(len(g2) AS BIGINT) AS n_grams_2,
+      round(CASE WHEN len(g2) > 0
+        THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_gram_frac_2,
+      CAST(len(g5) AS BIGINT) AS n_grams_5,
+      round(CASE WHEN len(g5) > 0
+        THEN (len(g5) - len(list_distinct(g5))) / CAST(len(g5) AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_gram_frac_5
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc duplicate n-gram fractions (repetition quality filter)."""
+    from mhealth_spark.pipelines.text import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_grams_2").cast("long").alias("n_grams_2"),
+        F.round("dup_gram_frac_2", 6).alias("dup_gram_frac_2"),
+        F.col("n_grams_5").cast("long").alias("n_grams_5"),
+        F.round("dup_gram_frac_5", 6).alias("dup_gram_frac_5"),
+    )
+
+
 @register("text_fingerprint64_rolling")
 def text_fingerprint64_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_fingerprint_xxh(_docs(spark, sf_dir)).select(
