@@ -222,6 +222,155 @@ def contamination_hits(
     )
 
 
+def _hex8(id_col: str, salt: str):
+    """First 8 hex chars of md5(id '#' salt) — a portable deterministic
+    U(0,1) draw in lowercase-hex order (string compare == numeric)."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
+    )
+
+
+def _hex_thresh(rate: float) -> str:
+    return format(min(int(round(rate, 6) * 16**8), 16**8 - 1), "08x")
+
+
+def temperature_rates(
+    tokens: DataFrame,
+    alpha: float = 0.7,
+    target_tokens: float | None = None,
+    by_col: str = "source",
+) -> dict[str, float]:
+    """Per-source sampling rates for temperature-``alpha`` mixing: the
+    sampled corpus draws from source ``s`` in proportion ``t_s**alpha``
+    (t_s = source token count), the standard multilingual/multi-corpus
+    rebalancing rule (alpha<1 upsamples small sources relative to their
+    share). ``target_tokens`` sets the expected sampled-token total
+    (default: the size of the LARGEST source, so the heaviest source's
+    rate is ~its own weight and nothing clips at 1 unless asked to).
+
+    Driver-side math over ONE tiny aggregate (|sources| rows — 8-ish;
+    collecting it is not a driver-side loop over data). Rates are rounded
+    to 6 dp so any engine replaying them thresholds identically. Feed the
+    result straight to ``sample_corpus(strata_rates=...)``.
+    """
+    totals = {
+        r[0]: float(r[1])
+        for r in tokens.groupBy(by_col)
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    z = sum(t**alpha for t in totals.values())
+    if target_tokens is None:
+        target_tokens = max(totals.values())
+    return {
+        s: round(min(1.0, target_tokens * (t**alpha / z) / t), 6)
+        for s, t in totals.items()
+    }
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row gets the label whose
+    cumulative-weight hash interval contains its md5 draw. Pure map — no
+    shuffle, no RNG state, stable under re-partitioning and resume, and
+    the SAME doc always lands in the same split even when the corpus
+    grows (the property that keeps eval sets stable across corpus
+    versions). Weights must sum to ~1; the last label absorbs rounding.
+    """
+    hx = _hex8(id_col, salt)
+    items = list(weights.items())
+    expr = None
+    cum = 0.0
+    for name, wgt in items[:-1]:
+        cum += wgt
+        cond = hx < F.lit(_hex_thresh(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    label = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", label)
+
+
+def mix_by_budget(
+    tokens: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Token-budget corpus mixing: per source, take documents in
+    deterministic hash order until the source's token budget is reached
+    (the doc that crosses the line is kept — "fill then cut" semantics,
+    matching chunked packing). Sources without a budget entry use
+    ``default_budget`` (None → keep whole source).
+
+    Scale shape: ONE window exchange on the source (same key layout every
+    mixing pass reuses); hash order makes the kept set independent of
+    input partitioning, so a resumed or re-planned run keeps exactly the
+    same documents.
+    """
+    hx = _hex8(id_col, salt)
+    w = (
+        Window.partitionBy(by_col)
+        .orderBy("_hx", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget_expr = None
+    for s, b in budgets.items():
+        cond = F.col(by_col) == s
+        budget_expr = (
+            F.when(cond, b) if budget_expr is None else budget_expr.when(cond, b)
+        )
+    if budget_expr is None:
+        budget_expr = F.lit(default_budget)
+    else:
+        budget_expr = budget_expr.otherwise(F.lit(default_budget))
+    out = (
+        tokens.withColumn("_hx", hx)
+        .withColumn(
+            "mix_tokens_before",
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn("_budget", budget_expr)
+        .filter(
+            F.col("_budget").isNull()
+            | (F.col("mix_tokens_before") < F.col("_budget"))
+        )
+    )
+    return out.drop("_hx", "_budget")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard0",
+) -> DataFrame:
+    """Deterministic training-shard assignment: shard = first 8 md5 hex
+    digits mod n_shards; position = rank within the shard in hash order.
+    This IS the "global shuffle" a training pipeline wants — hash order
+    is a uniform random permutation of the corpus, reproducible across
+    engines and runs, with no driver-side sort and no RNG state. Writing
+    with ``partitionBy(shard_id)`` then streams each shard in position
+    order. One window exchange on shard_id (uniform by construction —
+    no skew possible, every reducer gets |corpus|/n rows)."""
+    hx = _hex8(id_col, salt)
+    w = Window.partitionBy("shard_id").orderBy("_hx", id_col)
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn(
+            "shard_id",
+            (F.conv(F.col("_hx"), 16, 10).cast("long") % n_shards).cast("int"),
+        )
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_hx")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

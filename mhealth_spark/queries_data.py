@@ -922,3 +922,122 @@ def tokens_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_max",
         F.round("distinct_ratio", 6).alias("distinct_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing / splitting / sharding (deterministic md5-draw family)
+# ---------------------------------------------------------------------------
+from mhealth_spark.pipelines.corpus import _hex_thresh as _hx_thresh  # noqa: E402
+
+_SPLIT_HX = "substring(md5(doc_id::VARCHAR || '#split0'), 1, 8)"
+
+
+@register(
+    "corpus_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_SPLIT_HX} < '{_hx_thresh(0.9)}' THEN 'train'
+                WHEN {_SPLIT_HX} < '{_hx_thresh(0.9 + 0.05)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split (90/5/5): pure map, no
+    shuffle; the same doc lands in the same split across runs and corpus
+    versions."""
+    from mhealth_spark.pipelines.corpus import split_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return split_corpus(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+@register(
+    "corpus_temperature_sample",
+    f"""
+    WITH tot AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS t
+                 FROM {_TOKENS_DUCK} GROUP BY 1),
+    z AS (SELECT sum(pow(t, 0.5)) AS z, max(t) AS target FROM tot),
+    r AS (SELECT source,
+                 round(least(1.0, target * pow(t, 0.5) / z / t), 6) AS rate
+          FROM tot, z),
+    thr AS (SELECT source,
+                   lower(lpad(to_hex(CAST(least(trunc(rate * 4294967296),
+                                          4294967295) AS BIGINT)), 8, '0')) AS th
+            FROM r)
+    SELECT d.doc_id, d.source, d.n_tok
+    FROM {_TOKENS_DUCK} d JOIN thr USING (source)
+    WHERE substring(md5(d.doc_id || '#temp0'), 1, 8) < th
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source rebalancing: per-source rates computed from
+    token totals (one 8-row aggregate collected driver-side), applied as
+    the deterministic md5-threshold sample. alpha=0.5 keeps pow()
+    correctly-rounded (sqrt) so the oracle replays the same rates."""
+    from mhealth_spark.pipelines.corpus import sample_corpus, temperature_rates
+
+    tk = _tokens(spark)
+    rates = temperature_rates(tk, alpha=0.5)
+    return sample_corpus(
+        tk.select("doc_id", "source", "n_tok"),
+        rate=0.0,
+        strata_col="source",
+        strata_rates=rates,
+        salt="temp0",
+    )
+
+
+@register(
+    "corpus_mix_budget",
+    f"""
+    WITH t AS (SELECT doc_id, source, n_tok,
+                      substring(md5(doc_id || '#mix0'), 1, 8) AS hx
+               FROM {_TOKENS_DUCK}),
+    c AS (SELECT doc_id, source, n_tok,
+                 COALESCE(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY hx, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS mix_tokens_before
+          FROM t)
+    SELECT doc_id, source, n_tok, CAST(mix_tokens_before AS BIGINT)
+               AS mix_tokens_before
+    FROM c
+    WHERE mix_tokens_before < CASE WHEN source = 'src0' THEN 60000
+                                   ELSE 25000 END
+    """,
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: per source, keep docs in deterministic
+    hash order until the source's token budget fills (fill-then-cut).
+    One window exchange on the source key."""
+    from mhealth_spark.pipelines.corpus import mix_by_budget
+
+    tk = _tokens(spark).select("doc_id", "source", "n_tok")
+    out = mix_by_budget(tk, budgets={"src0": 60000}, default_budget=25000)
+    return out.select("doc_id", "source", "n_tok", "mix_tokens_before")
+
+
+@register(
+    "corpus_shard_assign",
+    """
+    WITH t AS (SELECT doc_id,
+                      substring(md5(doc_id::VARCHAR || '#shard0'), 1, 8) AS hx
+               FROM documents),
+    s AS (SELECT doc_id, hx,
+                 CAST(CAST('0x' || hx AS BIGINT) % 16 AS INT) AS shard_id
+          FROM t)
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hx, doc_id)
+                - 1 AS BIGINT) AS shard_pos
+    FROM s
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → 16 training shards: shard by md5
+    bucket (uniform, skew-free by construction), position by hash rank
+    within the shard. Reproducible across engines/runs with no RNG."""
+    from mhealth_spark.pipelines.corpus import shard_assign
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return shard_assign(docs, n_shards=16)

@@ -380,3 +380,85 @@ def test_decontaminate_drops_exactly_the_flagged_docs(spark):
     kept = {r.doc_id for r in decontaminate(corpus_side, bench).select("doc_id").collect()}
     assert flagged and flagged.isdisjoint(kept)
     assert len(kept) == corpus_side.count() - len(flagged)
+
+
+def test_split_corpus_proportions_and_determinism(spark):
+    """Hash split: labels partition the corpus, proportions land near the
+    weights, and the assignment is a pure function of doc_id (stable
+    under repartitioning — the resume/versioning property)."""
+    from mhealth_spark.pipelines.corpus import split_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).select("doc_id")
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert abs(counts["train"] / n - 0.8) < 0.1
+    again = split_corpus(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in again.collect()}
+    assert a == b
+
+
+def test_temperature_rates_properties(spark):
+    """alpha=1 reproduces natural proportions (all rates equal); alpha<1
+    orders rates inversely to source size (small sources upsampled)."""
+    from mhealth_spark.pipelines.corpus import temperature_rates
+    from mhealth_spark.synth import synth_tokens
+
+    tk = synth_tokens(spark, 2000, seed=7)
+    flat = temperature_rates(tk, alpha=1.0)
+    assert max(flat.values()) - min(flat.values()) <= 2e-6
+    skew = temperature_rates(tk, alpha=0.5)
+    totals = {r[0]: r[1] for r in tk.groupBy("source").agg(F.sum("n_tok")).collect()}
+    order_by_size = sorted(totals, key=totals.get)
+    rates_in_size_order = [skew[s] for s in order_by_size]
+    assert rates_in_size_order == sorted(rates_in_size_order, reverse=True)
+
+
+def test_mix_by_budget_prefix_property(spark):
+    """Kept docs per source form a prefix of the hash order, every kept
+    row starts below budget, and the first excluded doc would not."""
+    from mhealth_spark.pipelines.corpus import mix_by_budget
+    from mhealth_spark.synth import synth_tokens
+
+    tk = synth_tokens(spark, 1500, seed=9).select("doc_id", "source", "n_tok")
+    budget = 20000
+    out = mix_by_budget(tk, budgets={}, default_budget=budget)
+    pdf = out.toPandas()
+    assert (pdf["mix_tokens_before"] < budget).all()
+    import hashlib
+
+    def hx(d):
+        return hashlib.md5((d + "#mix0").encode()).hexdigest()[:8]
+
+    all_pdf = tk.toPandas()
+    for src, grp in all_pdf.groupby("source"):
+        grp = grp.assign(h=[hx(d) for d in grp.doc_id])
+        grp = grp.sort_values(["h", "doc_id"])
+        cum = 0
+        expect = []
+        for _, row in grp.iterrows():
+            if cum < budget:
+                expect.append(row.doc_id)
+            cum += row.n_tok
+        got = sorted(pdf[pdf.source == src].doc_id)
+        assert got == sorted(expect), src
+
+
+def test_shard_assign_uniform_and_contiguous(spark):
+    """16 shards: sizes within 3x of each other (md5 uniformity at n=500),
+    positions are 0..k-1 dense per shard, assignment repartition-stable."""
+    from mhealth_spark.pipelines.corpus import shard_assign
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).select("doc_id")
+    out = shard_assign(docs, n_shards=16).cache()
+    pdf = out.toPandas()
+    sizes = pdf.groupby("shard_id").size()
+    assert len(sizes) == 16 and sizes.max() <= 3 * max(sizes.min(), 1)
+    for sid, grp in pdf.groupby("shard_id"):
+        assert sorted(grp.shard_pos) == list(range(len(grp)))
+    out.unpersist()
