@@ -91,6 +91,36 @@ def main(argv: list[str] | None = None) -> int:
     p_pack.add_argument("--greedy", action="store_true",
                         help="first-fit greedy kernel instead of window chunking")
 
+    p_split = sub.add_parser(
+        "corpus-split", help="deterministic hash train/val/test labels"
+    )
+    add_io(p_split)
+    p_split.add_argument("--weights", default="train=0.9,val=0.05,test=0.05",
+                         help="name=frac[,name=frac...] — last absorbs rounding")
+    p_split.add_argument("--salt", default="split0")
+
+    p_shard = sub.add_parser(
+        "corpus-shard",
+        help="deterministic global shuffle into training shards "
+        "(output partitioned by shard_id, rows ordered by shard_pos)",
+    )
+    add_io(p_shard)
+    p_shard.add_argument("--shards", type=int, default=1024)
+    p_shard.add_argument("--salt", default="shard0")
+
+    p_mix = sub.add_parser(
+        "corpus-mix",
+        help="temperature-rebalanced sampling (per-source rates from "
+        "token totals) or explicit per-source token budgets",
+    )
+    add_io(p_mix)
+    p_mix.add_argument("--alpha", type=float, default=0.7,
+                       help="temperature exponent (1.0 = natural mix)")
+    p_mix.add_argument("--target-tokens", type=float, default=None)
+    p_mix.add_argument("--budgets", default=None,
+                       help="source=tokens[,source=tokens...] — switches to "
+                       "budget-fill mixing instead of temperature sampling")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "package":
@@ -161,6 +191,38 @@ def main(argv: list[str] | None = None) -> int:
 
         pack = pack_sequences_greedy if args.greedy else pack_sequences_chunked
         out = pack(df, budget=args.budget, entity_col=args.entity_col)
+    elif args.cmd == "corpus-split":
+        from mhealth_spark.pipelines.corpus import split_corpus
+
+        weights = {}
+        for part in args.weights.split(","):
+            name, frac = part.split("=")
+            weights[name] = float(frac)
+        out = split_corpus(df, weights, salt=args.salt)
+    elif args.cmd == "corpus-shard":
+        from mhealth_spark.pipelines.corpus import shard_assign
+
+        out = shard_assign(df, n_shards=args.shards, salt=args.salt)
+    elif args.cmd == "corpus-mix":
+        from mhealth_spark.pipelines.corpus import (
+            mix_by_budget,
+            sample_corpus,
+            temperature_rates,
+        )
+
+        if args.budgets:
+            budgets = {}
+            for part in args.budgets.split(","):
+                name, b = part.split("=")
+                budgets[name] = int(b)
+            out = mix_by_budget(df, budgets=budgets)
+        else:
+            rates = temperature_rates(
+                df, alpha=args.alpha, target_tokens=args.target_tokens
+            )
+            out = sample_corpus(
+                df, rate=0.0, strata_col="source", strata_rates=rates
+            )
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 

@@ -153,3 +153,70 @@ def repetition_stats(
             F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0)),
         )
     return out.drop(text_col)
+
+
+DEFAULT_QUALITY_THRESHOLDS = dict(
+    min_words=10,
+    max_words=100_000,
+    min_mean_word_len=2.0,
+    max_mean_word_len=12.0,
+    max_punct_ratio=0.3,
+    min_alpha_ratio=0.5,
+    min_stopword_ratio=0.01,
+    max_dup_frac_2=0.3,
+    max_dup_frac_5=0.15,
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides: float,
+) -> DataFrame:
+    """Composite pretraining quality filter (the Gopher/RefinedWeb rule
+    family): length, word shape, punctuation/alpha balance, stopword
+    presence, and intra-doc n-gram repetition, folded into one keep/drop
+    decision with the failed rule names in ``reasons`` (deterministic
+    rule order, comma-joined — auditable and groupable).
+
+    Single-pass JVM expressions over each row — no shuffle, no UDF; at
+    100 TB this is a map-only pass that composes with any scan. All
+    ratios are exact integer-division doubles, so thresholds compare
+    identically in any IEEE engine (the DuckDB oracle replays them
+    verbatim)."""
+    th = {**DEFAULT_QUALITY_THRESHOLDS, **overrides}
+    q = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
+    for n in (2, 5):
+        grams = shingles_all_col(text_col, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        q = q.withColumn(
+            f"dup_gram_frac_{n}",
+            F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0)),
+        )
+    checks = [
+        ("words_lt_min", F.col("q_n_words") < th["min_words"]),
+        ("words_gt_max", F.col("q_n_words") > th["max_words"]),
+        (
+            "mean_word_len_out",
+            (F.col("q_mean_word_len") < th["min_mean_word_len"])
+            | (F.col("q_mean_word_len") > th["max_mean_word_len"]),
+        ),
+        ("punct_ratio_high", F.col("q_punct_ratio") > th["max_punct_ratio"]),
+        ("alpha_ratio_low", F.col("q_alpha_ratio") < th["min_alpha_ratio"]),
+        (
+            "stopword_ratio_low",
+            F.col("q_stopword_ratio") < th["min_stopword_ratio"],
+        ),
+        ("dup_2gram_high", F.col("dup_gram_frac_2") > th["max_dup_frac_2"]),
+        ("dup_5gram_high", F.col("dup_gram_frac_5") > th["max_dup_frac_5"]),
+    ]
+    fails = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )
+    return (
+        q.withColumn("reasons", F.concat_ws(",", fails))
+        .withColumn("keep", F.col("reasons") == "")
+        .select(id_col, "keep", "reasons")
+    )

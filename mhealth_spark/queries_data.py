@@ -1041,3 +1041,54 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id")
     return shard_assign(docs, n_shards=16)
+
+
+@register(
+    "text_quality_filter",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    m AS (SELECT doc_id,
+      len(w) AS n_words,
+      CASE WHEN len(w) > 0 THEN length(text) * 1.0 / len(w) END AS mwl,
+      CASE WHEN length(text) > 0 THEN
+        (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+        * 1.0 / length(text) END AS punct_ratio,
+      CASE WHEN length(text) > 0 THEN
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        * 1.0 / length(text) END AS alpha_ratio,
+      CASE WHEN len(w) > 0 THEN
+        len(list_filter(w, x -> list_contains(
+          ['the','a','an','of','and','to','in','is','it','that'], lower(x))))
+        * 1.0 / len(w) END AS stop_ratio,
+      list_filter(list_transform(
+        generate_series(1, greatest(len(w) - 1, 1)),
+        i -> array_to_string(w[i:i+1], ' ')), s -> s <> '') AS g2,
+      list_filter(list_transform(
+        generate_series(1, greatest(len(w) - 4, 1)),
+        i -> array_to_string(w[i:i+4], ' ')), s -> s <> '') AS g5
+      FROM d),
+    f AS (SELECT doc_id, n_words, mwl, punct_ratio, alpha_ratio, stop_ratio,
+      CASE WHEN len(g2) > 0
+        THEN (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+        ELSE 0.0 END AS dup2,
+      CASE WHEN len(g5) > 0
+        THEN (len(g5) - len(list_distinct(g5))) / CAST(len(g5) AS DOUBLE)
+        ELSE 0.0 END AS dup5
+      FROM m),
+    r AS (SELECT doc_id, concat_ws(',',
+        CASE WHEN n_words < 10 THEN 'words_lt_min' END,
+        CASE WHEN n_words > 100000 THEN 'words_gt_max' END,
+        CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 'mean_word_len_out' END,
+        CASE WHEN punct_ratio > 0.3 THEN 'punct_ratio_high' END,
+        CASE WHEN alpha_ratio < 0.5 THEN 'alpha_ratio_low' END,
+        CASE WHEN stop_ratio < 0.01 THEN 'stopword_ratio_low' END,
+        CASE WHEN dup2 > 0.3 THEN 'dup_2gram_high' END,
+        CASE WHEN dup5 > 0.15 THEN 'dup_5gram_high' END) AS reasons
+      FROM f)
+    SELECT doc_id, reasons = '' AS keep, reasons FROM r
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-family quality filter: keep/drop + failed-rule
+    audit trail, one map-only pass."""
+    return text.quality_filter(_docs(spark, sf_dir))

@@ -1,0 +1,99 @@
+"""End-to-end CLI job tests: `cli.main` drives read_table → operator →
+write_table on tiny parquet inputs, reusing the shared test session
+(`spark.stop` is neutered per-test so the fixture survives)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from mhealth_spark import cli  # noqa: E402
+from mhealth_spark.synth import synth_tokens  # noqa: E402
+
+
+@pytest.fixture()
+def tokens_parquet(spark, tmp_path):
+    path = str(tmp_path / "tokens.parquet")
+    synth_tokens(spark, 400, seed=11).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(autouse=True)
+def _keep_session(spark, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    yield
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_cli_package(tmp_path):
+    out = str(tmp_path / "pkg.zip")
+    assert cli.main(["package", "--out", out]) == 0
+    assert os.path.exists(out)
+
+
+def test_cli_corpus_split(spark, tokens_parquet, tmp_path):
+    out = str(tmp_path / "split")
+    rc = cli.main(
+        ["corpus-split", "--input", tokens_parquet, "--output", out,
+         "--weights", "train=0.8,val=0.1,test=0.1"]
+    )
+    assert rc == 0
+    df = _read(spark, out)
+    labels = {r["split"] for r in df.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    assert df.count() == 400
+
+
+def test_cli_corpus_shard(spark, tokens_parquet, tmp_path):
+    out = str(tmp_path / "shards")
+    rc = cli.main(
+        ["corpus-shard", "--input", tokens_parquet, "--output", out,
+         "--shards", "8"]
+    )
+    assert rc == 0
+    df = _read(spark, out)
+    assert df.select("shard_id").distinct().count() == 8
+    assert df.count() == 400
+
+
+def test_cli_corpus_mix_temperature_and_budget(spark, tokens_parquet, tmp_path):
+    out_t = str(tmp_path / "mix_t")
+    rc = cli.main(
+        ["corpus-mix", "--input", tokens_parquet, "--output", out_t,
+         "--alpha", "0.5"]
+    )
+    assert rc == 0
+    kept = _read(spark, out_t).count()
+    assert 0 < kept < 400
+
+    out_b = str(tmp_path / "mix_b")
+    rc = cli.main(
+        ["corpus-mix", "--input", tokens_parquet, "--output", out_b,
+         "--budgets", "web=5000"]
+    )
+    assert rc == 0
+    df = _read(spark, out_b)
+    import pyspark.sql.functions as F
+
+    web_before = df.filter(F.col("source") == "web").agg(
+        F.max("mix_tokens_before")
+    ).collect()[0][0]
+    assert web_before is None or web_before < 5000
+
+
+def test_cli_corpus_pack(spark, tokens_parquet, tmp_path):
+    out = str(tmp_path / "packed")
+    rc = cli.main(
+        ["corpus-pack", "--input", tokens_parquet, "--output", out,
+         "--budget", "4096"]
+    )
+    assert rc == 0
+    df = _read(spark, out)
+    assert "pack_id" in df.columns and df.count() == 400

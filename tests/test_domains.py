@@ -462,3 +462,27 @@ def test_shard_assign_uniform_and_contiguous(spark):
     for sid, grp in pdf.groupby("shard_id"):
         assert sorted(grp.shard_pos) == list(range(len(grp)))
     out.unpersist()
+
+
+def test_quality_filter_reasons_consistent(spark):
+    """keep is exactly 'no failed rules'; every reason string is drawn
+    from the rule vocabulary; relaxing every threshold keeps everything."""
+    from mhealth_spark.pipelines.text import quality_filter
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    out = quality_filter(docs).toPandas()
+    assert (out.keep == (out.reasons == "")).all()
+    vocab = {
+        "words_lt_min", "words_gt_max", "mean_word_len_out",
+        "punct_ratio_high", "alpha_ratio_low", "stopword_ratio_low",
+        "dup_2gram_high", "dup_5gram_high",
+    }
+    for rs in out[~out.keep].reasons:
+        assert set(rs.split(",")) <= vocab, rs
+    lax = quality_filter(
+        docs, min_words=0, max_words=10**9, min_mean_word_len=0.0,
+        max_mean_word_len=1e9, max_punct_ratio=1.0, min_alpha_ratio=0.0,
+        min_stopword_ratio=0.0, max_dup_frac_2=1.0, max_dup_frac_5=1.0,
+    ).toPandas()
+    assert lax.keep.all()
