@@ -445,6 +445,9 @@ def write_report(
         )
 
     rows = "\n".join(row(t, desc) for t, desc in present)
+
+    def _f(v: float | None) -> str:
+        return f"{v:.2f}" if v is not None else "n/a"
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — engine throughput & scaling evidence
@@ -486,22 +489,28 @@ job measures 6 s in a quiet window and 250 s in a stolen one).
 
 Reading the numbers honestly:
 
-- **sequence_features** (0.84) meets the ≥0.8 north-rule bar: map-only,
-  zero exchange, ~30 s/level — long enough to amortize every fixed cost.
-  It bounds the box: no shuffle-bearing job can scale better than pure
-  compute on shared DRAM.
+- **sequence_features** ({_f(eff28('sequence_features'))} at 2→8,
+  {eff('sequence_features'):.2f} at 8→32 vs the ≥0.8 north-rule bar):
+  map-only, zero exchange, ~30 s at local[8] — long enough to amortize
+  every fixed cost. It bounds the box: no shuffle-bearing job can scale
+  better than pure compute on shared DRAM.
 - **scan_narrow** is the calibration tier: it does NOTHING but read 32M
-  pruned rows, and still shows ~0.55 — because at ~1 s the job IS the
-  ~0.7 s fixed floor (scheduling + stage setup). Any tier whose local[32]
-  time is ≲3 s (backfill 2.9 s, row_features 2.5 s) is floor-dominated
-  and its ratio reads the floor, not the engine.
-- **feature_vectors** (the north-rule window tier, ~0.59 at 14.3 s→6.0 s)
-  pushes 32M narrow rows through one hash exchange + sort. The gap to
-  0.84 is the exchange sharing one guest's memory channels across 32
-  threads; on a real N→4N cluster each executor adds its own channels
-  and shuffle bandwidth. The property that transfers is the plan shape:
-  one exchange, uniform keys, AQE-splittable partitions, token arrays
-  never read (pruned at scan).
+  pruned rows; its 8→32 ratio ({eff('scan_narrow'):.2f}) reads the ~0.7 s
+  fixed floor (scheduling + stage setup) because the whole job is ~1 s.
+  Any tier whose local[32] time is ≲3 s is floor-dominated and its 8→32
+  ratio reads the floor, not the engine. Its 2→8 ratio
+  ({_f(eff28('scan_narrow'))}) shows what pure IO can scale below the
+  DRAM wall.
+- **feature_vectors** (the north-rule window tier:
+  {_f(eff28('feature_vectors'))} at 2→8, {eff('feature_vectors'):.2f} at
+  8→32) pushes 32M narrow rows through one hash exchange + sort. The
+  2→8 pair is the honest executor stand-in (each of the "4 executors"
+  still has unconstrained memory bandwidth); the 8→32 gap to
+  sequence_features is the exchange sharing one guest's memory channels
+  across 32 threads — on a real N→4N cluster each executor adds its own
+  channels and shuffle bandwidth. The property that transfers is the
+  plan shape: one exchange, uniform keys, AQE-splittable partitions,
+  token arrays never read (pruned at scan).
 - **feature_vectors_prelayout** is the SAME window workload over the
   persisted bucketed layout (`write_bucketed_layout`: CLUSTERED BY
   entity, SORTED BY (entity, ts, doc_id)) at 128M rows — 4× the
@@ -509,18 +518,16 @@ Reading the numbers honestly:
   fixed floor. The scan's HashPartitioning(entity) satisfies the
   window's distribution and the declared sort order its ordering, so
   the physical plan has **zero Exchange and zero Sort** (asserted in
-  tests/test_layout.py). Result: ~3.3× the exchange tier's per-row
-  throughput at BOTH levels. Its thread ratio (~0.6) matches the pure
-  scan's own floor-adjusted ratio — i.e. the plan adds NO scaling
-  overhead beyond moving bytes through one box's shared DRAM; compute
-  (sequence_features, 0.84) is what an added executor actually brings.
-  This is the engine's layout-reuse answer at 10^12 rows: pay the
-  entity shuffle once at ingest, then every feature pass is map-shaped
-  and embarrassingly parallel across executors.
+  tests/test_layout.py). Result: ~3× the exchange tier's per-row
+  throughput at every level, {_f(eff28('feature_vectors_prelayout'))}
+  scaling at 2→8. This is the engine's layout-reuse answer at 10^12
+  rows: pay the entity shuffle once at ingest, then every feature pass
+  is map-shaped and embarrassingly parallel across executors.
 - **backfill** went from 51 s (generic bucketized as-of join, 0.30) to
-  4.7 s via hierarchical aggregation — at 10^12 rows THAT, not the
+  ~5 s via hierarchical aggregation — at 10^12 rows THAT, not the
   thread ratio of a 3-second job, is the scaling story: shuffle bounded
-  by the request grid instead of events × requests-per-bucket.
+  by the request grid instead of events × requests-per-bucket. 2→8:
+  {_f(eff28('backfill'))}.
 - **row_features** (payload pass-through) is additionally DRAM-bound: a
   bare payload scan→noop with no shuffle stops scaling past ~8 threads
   here (measured). The engine keeps the payload OUT of the skewed window

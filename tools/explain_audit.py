@@ -73,6 +73,17 @@ AUDIT = {
         requires=["HashAggregate"],
         forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # deterministic-draw family: mixing/sharding are exactly one window
+    # exchange (split + quality filter are pure maps — see
+    # audit_pure_maps, which bypasses the testdata repartition artifact)
+    "corpus_mix_budget": dict(
+        requires=["Window"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_shard_assign": dict(
+        requires=["Window"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 }
 
 
@@ -93,6 +104,28 @@ def audit_feature_vectors(spark) -> list[str]:
         problems.append("no ReadSchema found")
     elif "tokens" in m.group(1):
         problems.append(f"token arrays NOT pruned from scan: {m.group(1)}")
+    return problems
+
+
+def audit_pure_maps(spark) -> list[str]:
+    """split_corpus and quality_filter are pure maps: over a direct
+    parquet read (no testdata repartition artifact) their physical plans
+    must contain NO Exchange of any kind."""
+    from mhealth_spark.pipelines.corpus import split_corpus
+    from mhealth_spark.pipelines.text import quality_filter
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    problems = []
+    for label, df in (
+        ("split_corpus", split_corpus(docs, {"train": 0.9, "test": 0.1})),
+        ("quality_filter", quality_filter(docs)),
+    ):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "Exchange" in plan:
+            problems.append(f"{label}: unexpected Exchange in pure-map plan")
     return problems
 
 
@@ -126,6 +159,10 @@ def main() -> int:
     print("OK feature_vectors: token column pruned from scan" if not fv_problems
           else f"FAIL feature_vectors: {fv_problems}")
     failures += bool(fv_problems)
+    pm_problems = audit_pure_maps(spark)
+    print("OK pure-map family: zero Exchange (split_corpus, quality_filter)"
+          if not pm_problems else f"FAIL pure maps: {pm_problems}")
+    failures += bool(pm_problems)
     spark.stop()
     return 1 if failures else 0
 
