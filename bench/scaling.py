@@ -349,8 +349,7 @@ def main() -> None:
         lo, hi, lo2 = merge_history(
             full[-1]["local8"], full[-1]["local32"], lo2_seed
         )
-        write_report(1_000_000, int(os.environ.get("SCALING_ROUNDS", "3")),
-                     lo, hi, lo2)
+        write_report(1_000_000, len(full), lo, hi, lo2)
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     os.makedirs("/dev/shm/spark", exist_ok=True)
@@ -456,9 +455,9 @@ North-rule metric: entity×timestamp feature-vector throughput at two
 parallelism levels on identical deterministic input. `local[8]` vs
 `local[32]` stand in for N vs 4N executors (no real cluster in this
 sandbox); both levels run in separate JVMs with identical configs
-(shuffle.partitions=64, AQE on, spark.local.dir on tmpfs), interleaved
-over {rounds} rounds with per-level minima to reject the host's CPU-steal
-bursts. Payload tiers use {n_docs:,} token sequences (seed 42, ~50% of
+(shuffle.partitions=64, AQE on, spark.local.dir on tmpfs), levels
+interleaved within each run and min-merged across {rounds} full run(s)
+to reject the host's CPU-steal bursts. Payload tiers use {n_docs:,} token sequences (seed 42, ~50% of
 rows on one heavy source, 1% of writers holding ~30%); narrow tiers use
 {32 * n_docs:,} sequences — their jobs read 3-4 pruned parquet
 columns — the token arrays never enter the scan (ReadSchema excludes
@@ -493,7 +492,13 @@ Reading the numbers honestly:
   {eff('sequence_features'):.2f} at 8→32 vs the ≥0.8 north-rule bar):
   map-only, zero exchange, ~30 s at local[8] — long enough to amortize
   every fixed cost. It bounds the box: no shuffle-bearing job can scale
-  better than pure compute on shared DRAM.
+  better than pure compute on shared DRAM. Its 2→8 ratio is the one
+  number DEPRESSED by the small level, not the big one: the tier decodes
+  the full ~2 KB token arrays, so 2 threads enjoy a per-thread L3/DRAM
+  share (and per-core turbo) that 8 threads split — an artifact of
+  threads-in-one-guest, absent between real executors. The narrow tiers,
+  whose rows are ~25× smaller, show the clean pair
+  ({_f(eff28('feature_vectors'))} / {_f(eff28('scan_narrow'))}).
 - **scan_narrow** is the calibration tier: it does NOTHING but read 32M
   pruned rows; its 8→32 ratio ({eff('scan_narrow'):.2f}) reads the ~0.7 s
   fixed floor (scheduling + stage setup) because the whole job is ~1 s.
