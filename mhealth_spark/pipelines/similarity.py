@@ -209,3 +209,130 @@ def ann_lsh_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pick_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf0",
+) -> list[list[float]]:
+    """Deterministic one-shot IVF centroids: the ``n_centroids`` corpus
+    vectors with the smallest ``md5(id '#' salt)`` draw, in draw order
+    (cid = rank). A hash-uniform sample of the data IS a valid coarse
+    quantizer seeding (k-means|| starts the same way); skipping Lloyd
+    iterations keeps the whole structure reproducible in any engine —
+    the property the DuckDB oracle needs. ``orderBy().limit(n)`` is a
+    per-partition top-n + single small reduce, not a global sort."""
+    hx = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
+    )
+    rows = (
+        corpus.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+            hx.alias("_hx"),
+        )
+        .orderBy("_hx", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """Cosine of ``vec`` against each centroid embedded as a LITERAL array
+    — centroids ride inside the codegen'd expression, so assignment is a
+    pure map: no join, no shuffle, the 10^12-row shape (a real deploy
+    broadcasts them; literals are the sandbox-visible equivalent)."""
+    return [
+        cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only inverted-file assignment: argmax-cosine centroid id per
+    vector (ties at 9 dp broken toward the lower cid)."""
+    c = _as_double(corpus, id_col, vec_col)
+    scores = _centroid_scores(F.col("v"), centroids)
+    # ONE array of (score, -cid) structs, argmax via array_max: each score
+    # subtree appears exactly once (a chained-when argmax would duplicate
+    # every prior score inside each branch — Catalyst does not CSE across
+    # branches and the expression grows quadratically). Struct ordering is
+    # lexicographic; -cid makes ties resolve toward the LOWER cid.
+    structs = F.array(
+        *[
+            F.struct(F.round(s, 9).alias("s"), F.lit(-i).alias("negcid"))
+            for i, s in enumerate(scores)
+        ]
+    )
+    best = F.array_max(structs)
+    return c.select(
+        F.col(id_col), F.col("v"), (-best["negcid"]).cast("int").alias("cid")
+    )
+
+
+def ann_ivf_oneshot(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    salt: str = "ivf0",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in
+    ``n_centroids`` inverted lists (map-only assignment); each query
+    probes its ``n_probe`` closest centroids and candidates form by an
+    equi-join on the centroid id. Exact cosine refine + per-query top-k
+    window. At 10^12 vectors the probe join touches
+    n_probe/n_centroids of the corpus instead of all of it, and the
+    shuffle key (cid) has bounded cardinality with list sizes uniform in
+    expectation under the hash seeding."""
+    centroids = pick_centroids(corpus, n_centroids, id_col, vec_col, salt)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-F.round(s, 9)).alias("negs"), F.lit(i).alias("cid")
+            )
+            for i, s in enumerate(_centroid_scores(F.col("qv"), centroids))
+        ]
+    )
+    probes = q.select(
+        F.col(query_id_col),
+        F.col("qv"),
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, n_probe)
+        ).alias("p"),
+    ).select(query_id_col, "qv", F.col("p.cid").alias("cid"))
+    scored = (
+        probes.join(assigned, "cid")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_expr(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1092,3 +1092,59 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher-family quality filter: keep/drop + failed-rule
     audit trail, one map-only pass."""
     return text.quality_filter(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_ivf_oneshot",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      substring(md5(vec_id::VARCHAR || '#ivf0'), 1, 8) AS hx
+               FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY hx, vec_id) - 1 AS cid, v
+             FROM e ORDER BY hx, vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(q.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, a.v) AS cos
+      FROM probes p JOIN assign a USING (cid)
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(cos, 9) DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic hash-picked coarse centroids, map-only
+    inverted-list assignment (centroids as codegen literals), n_probe=4
+    probed equi-join on cid, exact cosine refine + top-k window."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_ivf_oneshot(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )

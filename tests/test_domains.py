@@ -486,3 +486,34 @@ def test_quality_filter_reasons_consistent(spark):
         min_stopword_ratio=0.0, max_dup_frac_2=1.0, max_dup_frac_5=1.0,
     ).toPandas()
     assert lax.keep.all()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """One-shot IVF (16 lists, probe 4): candidates touch ~1/4 of the
+    corpus per query yet measured recall@5 stays useful; with probe 16
+    (scan all lists) IVF must equal brute force exactly."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivf_oneshot,
+        ann_topk_bruteforce,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_topk_bruteforce(emb, queries, k=5).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    approx = ann_ivf_oneshot(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+    assert np.mean(recalls) >= 0.5, f"probe-4 recall={np.mean(recalls):.3f}"
+
+    full = ann_ivf_oneshot(
+        emb, queries, k=5, n_centroids=16, n_probe=16
+    ).toPandas()
+    f = full.groupby("query_id")["neighbor_id"].apply(set)
+    assert all(e[q] == f[q] for q in e.index), "probe-all must equal exact"
