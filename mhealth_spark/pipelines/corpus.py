@@ -384,3 +384,36 @@ def decontaminate(
     hits = contamination_hits(docs, benchmark, text_col, id_col, n)
     dirty = hits.filter(F.col("n_contaminated") > max_hits).select(id_col)
     return docs.join(dirty, id_col, "left_anti")
+
+
+def batch_by_length(
+    tokens: DataFrame,
+    batch_size: int = 32,
+    length_bucket: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed inference batching: group sequences of similar
+    ``n_tok`` so fixed-size batches waste minimal padding. bucket =
+    floor(n_tok / length_bucket); within a bucket, docs take dense
+    positions in (n_tok, id) order and batch_id = position // batch_size.
+    Padding per batch is then bounded by the bucket width instead of the
+    corpus-wide length spread. One window exchange on the bucket key
+    (bounded cardinality ≈ max_len / length_bucket; each bucket's rows
+    spread across batches, so no reducer hot-spot beyond the length
+    distribution itself — AQE splits a skewed bucket)."""
+    bucket = F.floor(F.col("n_tok") / length_bucket).cast("int")
+    w = Window.partitionBy("len_bucket").orderBy("n_tok", id_col)
+    return (
+        tokens.withColumn("len_bucket", bucket)
+        .withColumn("_pos", F.row_number().over(w) - 1)
+        .withColumn(
+            "batch_id",
+            F.concat_ws(
+                "-",
+                F.col("len_bucket"),
+                F.floor(F.col("_pos") / batch_size).cast("long"),
+            ),
+        )
+        .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))
+        .drop("_pos")
+    )

@@ -220,3 +220,29 @@ def quality_filter(
         .withColumn("keep", F.col("reasons") == "")
         .select(id_col, "keep", "reasons")
     )
+
+
+PII_PATTERNS = [
+    # order matters: emails before bare domains-ish tokens; phone last so
+    # digit runs inside emails are already gone
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass: replace emails / IPv4s / phone-number-shaped
+    digit runs with typed placeholder tokens, and count replacements per
+    doc (the audit signal a corpus build logs). Sequential
+    ``regexp_replace`` chain — pure map, whole-stage codegen, no UDF;
+    the pattern order is part of the contract (emails first so their
+    digit runs never re-match as phones)."""
+    out = F.col(text_col)
+    n_hits = F.lit(0)
+    for _, pat, repl in PII_PATTERNS:
+        n_hits = n_hits + F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn("text_redacted", out).withColumn(
+        "n_pii_redacted", n_hits.cast("int")
+    )

@@ -1148,3 +1148,65 @@ def ann_ivf_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "text_redact_pii",
+    r"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS h1,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+           FROM d),
+    s2 AS (SELECT doc_id, h1,
+             len(regexp_extract_all(t1,
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS h2,
+             regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+                 AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, h1, h2,
+             len(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d')) AS h3,
+             regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t3
+           FROM s2)
+    SELECT doc_id, t3 AS text_redacted,
+           CAST(h1 + h2 + h3 AS INT) AS n_pii_redacted
+    FROM s3
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit pass: emails/IPv4s/phone-shaped runs replaced
+    with typed placeholders, per-doc replacement count. Pure map."""
+    from mhealth_spark.pipelines.text import redact_pii
+
+    out = redact_pii(_docs(spark, sf_dir))
+    return out.select("doc_id", "text_redacted", "n_pii_redacted")
+
+
+@register(
+    "corpus_length_batches",
+    f"""
+    WITH t AS (SELECT doc_id, n_tok,
+                      CAST(floor(n_tok / 64) AS INT) AS len_bucket
+               FROM {_TOKENS_DUCK}),
+    p AS (SELECT doc_id, n_tok, len_bucket,
+                 row_number() OVER (PARTITION BY len_bucket
+                                    ORDER BY n_tok, doc_id) - 1 AS pos
+          FROM t)
+    SELECT doc_id, n_tok, len_bucket,
+           concat_ws('-', len_bucket, CAST(floor(pos / 32) AS BIGINT))
+               AS batch_id,
+           CAST(pos % 32 AS INT) AS batch_pos
+    FROM p
+    """,
+)
+def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: similar-length sequences share
+    a batch so padding is bounded by the bucket width."""
+    from mhealth_spark.pipelines.corpus import batch_by_length
+
+    tk = _tokens(spark).select("doc_id", "n_tok")
+    out = batch_by_length(tk, batch_size=32, length_bucket=64)
+    return out.select("doc_id", "n_tok", "len_bucket", "batch_id", "batch_pos")

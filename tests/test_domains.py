@@ -517,3 +517,44 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     ).toPandas()
     f = full.groupby("query_id")["neighbor_id"].apply(set)
     assert all(e[q] == f[q] for q in e.index), "probe-all must equal exact"
+
+
+def test_redact_pii_crafted_values(spark):
+    """Value check on crafted strings: each PII family is replaced with
+    its typed token, counts add up, clean text passes through unchanged,
+    and email digit runs never re-match as phones."""
+    from mhealth_spark.pipelines.text import redact_pii
+
+    rows = [
+        ("a", "contact bob99@example.com or +1 555-123-4567 now"),
+        ("b", "server at 192.168.0.1 rebooted"),
+        ("c", "clean text with no identifiers"),
+        ("d", "x12345678@mail.co end"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out["a"].text_redacted == "contact <EMAIL> or <PHONE> now"
+    assert out["a"].n_pii_redacted == 2
+    assert out["b"].text_redacted == "server at <IP> rebooted"
+    assert out["b"].n_pii_redacted == 1
+    assert out["c"].text_redacted == rows[2][1]
+    assert out["c"].n_pii_redacted == 0
+    assert out["d"].text_redacted == "<EMAIL> end"
+    assert out["d"].n_pii_redacted == 1
+
+
+def test_batch_by_length_padding_bound(spark):
+    """Within any emitted batch, max(n_tok) - min(n_tok) < length_bucket,
+    batches fill densely (positions 0..k-1), and only the last batch of a
+    bucket may be partial."""
+    from mhealth_spark.pipelines.corpus import batch_by_length
+    from mhealth_spark.synth import synth_tokens
+
+    tk = synth_tokens(spark, 1200, seed=13).select("doc_id", "n_tok")
+    pdf = batch_by_length(tk, batch_size=16, length_bucket=64).toPandas()
+    for bid, grp in pdf.groupby("batch_id"):
+        assert grp.n_tok.max() - grp.n_tok.min() < 64, bid
+        assert sorted(grp.batch_pos) == list(range(len(grp))), bid
+    for bucket, grp in pdf.groupby("len_bucket"):
+        sizes = grp.groupby("batch_id").size()
+        assert (sizes == 16).sum() >= len(sizes) - 1, bucket
