@@ -215,3 +215,42 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     exp = {r.doc_id for r in decontaminate(corpus_side, bench).select("doc_id").collect()}
     assert got == exp
     assert len(got) < corpus_side.count()  # something was actually dropped
+
+
+def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
+    """split_corpus / quality_filter / redact_pii are stateless maps, so
+    they run unchanged on a streaming DataFrame and must agree row-for-row
+    with the batch result — the property that lets one filtering codebase
+    serve both the bulk corpus build and the live ingestion path."""
+    from mhealth_spark.pipelines.corpus import split_corpus
+    from mhealth_spark.pipelines.text import quality_filter, redact_pii
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    cases = {
+        "s_split": lambda d: split_corpus(d, {"train": 0.9, "test": 0.1})
+        .select("doc_id", "split"),
+        "s_qf": lambda d: quality_filter(d),
+        "s_pii": lambda d: redact_pii(d).select("doc_id", "n_pii_redacted"),
+    }
+    for name, fn in cases.items():
+        batch = fn(spark.read.parquet(path)).toPandas()
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        cols = sorted(batch.columns)
+        b = batch[cols].sort_values(cols).reset_index(drop=True)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, g)
