@@ -97,35 +97,53 @@ def minhash_lsh_candidates(
     (id_a < id_b). The join key is (band_index, band_hash) — a plain
     shuffled equi-join; no global cross product."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
-    bands = []
     n_bands = num_hashes // band_size
-    for b in range(n_bands):
-        cols = [f"mh{b * band_size + j}" for j in range(band_size)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
+    # ONE band-struct array exploded from each signature row — a union of
+    # per-band selects would re-run the whole signature fold once per band
+    # (each union branch is its own subplan; the fold is ~all the cost)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("bucket"),
+                F.concat_ws(
+                    "|",
+                    *[f"mh{b * band_size + j}" for j in range(band_size)],
+                ).alias("bucket"),
             )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    # pair generation via groupBy(bucket) + in-bucket combination expansion
+    # instead of a self-join: a self-join would compute the signature table
+    # TWICE (the testdata repartition is round-robin/nondeterministic, which
+    # blocks Catalyst's ReuseExchange), and the signatures are ~all the
+    # query's cost. One signature pass, ONE shuffle on (band, bucket);
+    # per-bucket expansion is the same quadratic the join had — buckets are
+    # small by construction (that is LSH's whole premise), and a degenerate
+    # hot bucket hurts either formulation equally.
+    grouped = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    exploded = bands[0]
-    for b in bands[1:]:
-        exploded = exploded.unionByName(b)
-    a = exploded.alias("a")
-    bb = exploded.alias("b")
-    pairs = (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -97,13 +97,27 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best)
 
 
+def _gram_strings(w: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, built from n SHIFTED SLICES
+    zipped elementwise — n array allocations per doc instead of one slice
+    per gram position (the naive transform(sequence, i -> slice(w,i+1,n))
+    allocates ~|doc| subarrays and was the measured hotspot of every
+    shingle consumer). Output strings are identical to the naive form:
+    for len(w) < n the single gram is the whole doc joined (matching the
+    sequence(0, greatest(len-n, 0)) boundary)."""
+    size = F.size(w)
+    m = size - (n - 1)
+    parts = [F.slice(w, k + 1, m) for k in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, g).otherwise(F.array(F.concat_ws(" ", w)))
+
+
 def shingles_col(text_col: str = "text", n: int = 5) -> Column:
     """Distinct word n-gram shingles as space-joined strings."""
     w = words_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
-    )
+    sh = _gram_strings(w, n)
     return F.array_distinct(F.filter(sh, lambda s: s != F.lit("")))
 
 
@@ -130,8 +144,7 @@ def shingles_all_col(text_col: str = "text", n: int = 5) -> Column:
     """Word n-gram shingles WITHOUT dedup (repetition analysis needs the
     multiplicity that ``shingles_col`` deliberately discards)."""
     w = words_col(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    sh = _gram_strings(w, n)
     return F.filter(sh, lambda s: s != F.lit(""))
 
 

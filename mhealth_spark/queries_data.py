@@ -1210,3 +1210,11 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = _tokens(spark).select("doc_id", "n_tok")
     out = batch_by_length(tk, batch_size=32, length_bucket=64)
     return out.select("doc_id", "n_tok", "len_bucket", "batch_id", "batch_pos")
+
+
+# xxhash64 scale tier: no DuckDB twin (rows-only check). The md5 query
+# above is the byte-identical oracle gate; THIS is the production path —
+# one 64-bit hash per (shingle, i) instead of 8 string md5s.
+@register("dedup_minhash_lsh_xxh")
+def dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="xxh")
