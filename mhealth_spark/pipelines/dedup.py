@@ -33,6 +33,24 @@ def exact_dedup_groups(
     return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")
 
 
+def exact_dedup_token_groups(
+    tokens: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Exact dedup on the TOKEN ARRAY (post-tokenization dedup — catches
+    docs whose raw text differs only in ways the tokenizer erases). md5
+    over the comma-joined ids keeps the fingerprint portable to any
+    engine; at 10^12 rows swap in ``xxhash64(tokens)`` (one 64-bit hash,
+    no string materialization) — groupBy shape is identical."""
+    fp_col = F.md5(
+        F.concat_ws(",", F.transform(tokens_col, lambda t: t.cast("string")))
+    )
+    fp = tokens.select(F.col(id_col), fp_col.alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("keep_id")
+    )
+    return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1218,3 +1218,21 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh_xxh")
 def dedup_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="xxh")
+
+
+@register(
+    "dedup_exact_tokens",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      md5(array_to_string(tokens, ',')) AS fp
+               FROM {_TOKENS_DUCK}),
+    g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keep_id
+          FROM d GROUP BY 1)
+    SELECT d.doc_id AS doc_id, g.group_size AS group_size, g.keep_id AS keep_id
+    FROM d JOIN g USING (fp)
+    """,
+)
+def dedup_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-tokenization exact dedup: group by md5 of the token-id array
+    (portable tier; xxhash64(tokens) is the 10^12-row tier)."""
+    return dedup.exact_dedup_token_groups(_tokens(spark))
