@@ -558,3 +558,22 @@ def test_batch_by_length_padding_bound(spark):
     for bucket, grp in pdf.groupby("len_bucket"):
         sizes = grp.groupby("batch_id").size()
         assert (sizes == 16).sum() >= len(sizes) - 1, bucket
+
+
+def test_minhash_lsh_single_signature_pass(spark):
+    """Regression guard: the LSH candidate plan must scan the corpus ONCE
+    (pair generation is groupBy-bucket expansion, not a self-join that
+    recomputes the signature fold per side; bands explode from one
+    signature row, not a per-band union)."""
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    df = minhash_lsh_candidates(docs, hash_fn="xxh")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1, plan[:2000]
