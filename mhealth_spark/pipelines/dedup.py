@@ -412,16 +412,26 @@ def embedding_neardup_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
+    # groupBy-bucket pair expansion (not a self-join): one scan, one
+    # shuffle on (band, sig) — same reasoning as minhash_lsh_candidates
+    grouped = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n_ids = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n_ids),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     va = v.select(
