@@ -577,3 +577,38 @@ def test_minhash_lsh_single_signature_pass(spark):
 
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1, plan[:2000]
+
+
+def test_minhash_fold_matches_naive_construction(spark):
+    """The single-pass struct-fold signatures must equal the naive
+    per-column array_min(transform(...)) form for BOTH hash tiers — a
+    differential for the xxh tier, which has no DuckDB twin."""
+    from mhealth_spark.pipelines.dedup import minhash_signatures
+    from mhealth_spark.pipelines.text import shingles_col
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).limit(200)
+    for hash_fn in ("xxh", "md5"):
+        fast = minhash_signatures(docs, hash_fn=hash_fn).toPandas()
+
+        sh = shingles_col("text", 5)
+        base = docs.select(F.col("doc_id"), sh.alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        # factories, not default-arg lambdas: a 2-parameter lambda is read
+        # by PySpark as the (element, index) form and i would bind to the
+        # array index (the same trap minhash_signatures documents)
+        def mk(i):
+            if hash_fn == "md5":
+                return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+        cols = [
+            F.array_min(F.transform("sh", mk(i))).alias(f"mh{i}")
+            for i in range(8)
+        ]
+        naive = base.select("doc_id", *cols).toPandas()
+
+        f = fast.sort_values("doc_id").reset_index(drop=True)
+        n = naive.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(f, n, check_dtype=False)
