@@ -417,3 +417,42 @@ def batch_by_length(
         .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))
         .drop("_pos")
     )
+
+
+def unigram_logprob_scores(
+    tokens: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram LM quality score (the perplexity-filter family): per doc,
+    the mean token log-probability under the corpus's own add-alpha
+    unigram distribution. Outlier docs (spam, noise, wrong-vocabulary
+    content) score far below the bulk and get threshold-dropped.
+
+    Scale shape: token counts are ONE explode + groupBy bounded by vocab
+    size (map-side combine collapses each partition to <=|vocab| rows);
+    the per-token probability table is vocab-sized and BROADCASTS to the
+    scoring join, so the corpus itself shuffles only once — the groupBy
+    back to docs. Totals ride along via a 1-row cross join (constant
+    folding, no data movement)."""
+    ex = tokens.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    counts = ex.groupBy("token").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count("*").alias("vocab")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+        ).alias("logp"),
+    )
+    return (
+        ex.join(F.broadcast(probs), "token")
+        .groupBy(id_col)
+        .agg(
+            F.avg("logp").alias("mean_logprob"),
+            F.count("*").alias("n_scored"),
+        )
+    )

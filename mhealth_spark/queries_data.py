@@ -1236,3 +1236,32 @@ def dedup_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-tokenization exact dedup: group by md5 of the token-id array
     (portable tier; xxhash64(tokens) is the 10^12-row tier)."""
     return dedup.exact_dedup_token_groups(_tokens(spark))
+
+
+@register(
+    "corpus_unigram_logprob",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest(tokens) AS token FROM {_TOKENS_DUCK}),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+    p AS (SELECT token, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+          FROM c, t)
+    SELECT ex.doc_id AS doc_id,
+           round(avg(p.logp), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_scored
+    FROM ex JOIN p USING (token)
+    GROUP BY 1
+    """,
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-family quality score: mean token log-prob under the
+    corpus's own add-alpha unigram LM; explode+groupBy bounded by vocab,
+    broadcast probability join, one doc-level shuffle."""
+    from mhealth_spark.pipelines.corpus import unigram_logprob_scores
+
+    out = unigram_logprob_scores(_tokens(spark))
+    return out.select(
+        "doc_id",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+    )

@@ -612,3 +612,21 @@ def test_minhash_fold_matches_naive_construction(spark):
         f = fast.sort_values("doc_id").reset_index(drop=True)
         n = naive.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(f, n, check_dtype=False)
+
+
+def test_unigram_logprob_properties(spark):
+    """Scores are finite negatives, every token is scored, and a doc of
+    corpus-frequent tokens outranks a doc of rare ones."""
+    from mhealth_spark.pipelines.corpus import unigram_logprob_scores
+
+    rows = [
+        ("common", [1, 1, 1, 2, 2]),
+        ("alsocommon", [1, 2, 1, 2]),
+        ("rare", [99991, 99992, 99993]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    for d, toks in rows:
+        assert out[d].n_scored == len(toks)
+        assert out[d].mean_logprob < 0
+    assert out["common"].mean_logprob > out["rare"].mean_logprob
