@@ -456,3 +456,50 @@ def unigram_logprob_scores(
             F.count("*").alias("n_scored"),
         )
     )
+
+
+def pack_token_arrays(
+    tokens: DataFrame,
+    budget: int = 2048,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Materialize the PHYSICAL packed sequences: per (entity, pack_id)
+    from ``pack_sequences_chunked``, the member docs' token arrays
+    concatenated in (ts, doc_id) order — the actual array a training
+    pipeline writes, not just the assignment. Order inside the pack is
+    enforced by sorting (ts, doc_id, tokens) structs INSIDE the aggregate
+    (collect_list order is partition-arbitrary; the sort makes the output
+    deterministic under any physical plan). Two shuffles total: the
+    assignment window and the pack groupBy — both on bounded, uniform
+    keys; each pack's array is ~budget tokens, so rows stay small."""
+    assign = pack_sequences_chunked(tokens, budget, entity_col, ts_col).select(
+        "doc_id", entity_col, "pack_id"
+    )
+    j = assign.join(
+        tokens.select("doc_id", ts_col, "tokens"), "doc_id"
+    )
+    packed = (
+        j.groupBy(entity_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("ts"),
+                            F.col("doc_id").alias("doc_id"),
+                            F.col("tokens").alias("tokens"),
+                        )
+                    )
+                ).getField("tokens")
+            ).alias("packed_tokens"),
+        )
+    )
+    return packed.select(
+        entity_col,
+        "pack_id",
+        "n_docs",
+        F.size("packed_tokens").alias("pack_len"),
+        "packed_tokens",
+    )

@@ -1265,3 +1265,45 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 6).alias("mean_logprob"),
         F.col("n_scored").cast("long").alias("n_scored"),
     )
+
+
+@register(
+    "corpus_pack_arrays",
+    f"""
+    WITH t AS (SELECT doc_id, source, ts, n_tok, tokens FROM {_TOKENS_DUCK}),
+    c AS (SELECT doc_id, source, ts, tokens,
+                 COALESCE(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY ts, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS prev_cum
+          FROM t),
+    a AS (SELECT doc_id, source, ts, tokens,
+                 CAST(floor(prev_cum / 2048) AS BIGINT) AS pack_id
+          FROM c),
+    g AS (SELECT source, pack_id,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 flatten(list(tokens ORDER BY ts, doc_id)) AS arr
+          FROM a GROUP BY 1, 2)
+    SELECT source, pack_id, n_docs,
+           CAST(len(arr) AS INT) AS pack_len,
+           md5(array_to_string(arr, ',')) AS pack_fp
+    FROM g
+    """,
+)
+def corpus_pack_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical packed sequences: per-pack concatenated token arrays in
+    (ts, doc_id) order, content-fingerprinted for the oracle compare."""
+    from mhealth_spark.pipelines.corpus import pack_token_arrays
+
+    out = pack_token_arrays(_tokens(spark), budget=2048)
+    return out.select(
+        "source",
+        "pack_id",
+        "n_docs",
+        F.col("pack_len").cast("int").alias("pack_len"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("packed_tokens", lambda t: t.cast("string"))
+            )
+        ).alias("pack_fp"),
+    )
