@@ -438,15 +438,15 @@ def unigram_logprob_scores(
     folding, no data movement)."""
     ex = tokens.select(F.col(id_col), F.explode(tokens_col).alias("token"))
     counts = ex.groupBy("token").agg(F.count("*").alias("c"))
-    totals = counts.agg(
-        F.sum("c").alias("total"), F.count("*").alias("vocab")
-    )
-    probs = counts.crossJoin(F.broadcast(totals)).select(
+    # total/vocab are TWO scalars — collect them (one tiny job) rather
+    # than a 1-row crossJoin, which plans as BroadcastNestedLoopJoin and
+    # trips the engine's no-nested-loop audit; as literals the
+    # denominator constant-folds into the log expression
+    t = counts.agg(F.sum("c").alias("total"), F.count("*").alias("vocab")).collect()[0]
+    denom = float(t["total"]) + alpha * float(t["vocab"])
+    probs = counts.select(
         "token",
-        F.log(
-            (F.col("c") + F.lit(alpha))
-            / (F.col("total") + F.lit(alpha) * F.col("vocab"))
-        ).alias("logp"),
+        F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
     )
     return (
         ex.join(F.broadcast(probs), "token")

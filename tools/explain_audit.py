@@ -40,9 +40,12 @@ AUDIT = {
     "sessionize_gap30": dict(
         requires=["Window"], forbids=["CartesianProduct"]
     ),
+    # candidate pairs come from groupBy-bucket expansion, NOT a self-join:
+    # the plan must have the bucket aggregate + pair Generate and no join
+    # of any kind (tests/test_domains.py also asserts the single scan)
     "dedup_minhash_lsh": dict(
-        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
-        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+        requires=["HashAggregate", "Generate"],
+        forbids=["Join", "CartesianProduct"],
     ),
     # round-2 additions: the cartesian near-dup is gone — banded LSH is a
     # plain shuffled equi-join on (band, sig)
@@ -82,6 +85,20 @@ AUDIT = {
     ),
     "corpus_shard_assign": dict(
         requires=["Window"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    # the probability table must broadcast (a shuffle join on token would
+    # move the exploded corpus twice)
+    "corpus_unigram_logprob": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_pack_arrays": dict(
+        requires=["Window", "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "ann_ivf_oneshot": dict(
+        requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
 }
