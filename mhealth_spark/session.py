@@ -67,6 +67,9 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # \r progress bars interleave with stdout lines and mangle every
+        # log consumer (bench JSON tail, oracle-check greps)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     if extra_conf:
