@@ -121,6 +121,16 @@ def main(argv: list[str] | None = None) -> int:
                        help="source=tokens[,source=tokens...] — switches to "
                        "budget-fill mixing instead of temperature sampling")
 
+    p_q = sub.add_parser(
+        "corpus-quality",
+        help="Gopher-family quality filter: annotate keep/reasons, or "
+        "--drop to emit only the surviving documents",
+    )
+    add_io(p_q)
+    p_q.add_argument("--drop", action="store_true",
+                     help="emit only keep==true docs (full columns) instead "
+                     "of the (doc_id, keep, reasons) annotation table")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "package":
@@ -223,6 +233,15 @@ def main(argv: list[str] | None = None) -> int:
             out = sample_corpus(
                 df, rate=0.0, strata_col="source", strata_rates=rates
             )
+    elif args.cmd == "corpus-quality":
+        from mhealth_spark.pipelines.text import quality_filter
+
+        flags = quality_filter(df)
+        if args.drop:
+            keep_ids = flags.filter("keep").select("doc_id")
+            out = df.join(keep_ids, "doc_id", "left_semi")
+        else:
+            out = flags
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 

@@ -97,3 +97,26 @@ def test_cli_corpus_pack(spark, tokens_parquet, tmp_path):
     assert rc == 0
     df = _read(spark, out)
     assert "pack_id" in df.columns and df.count() == 400
+
+
+def test_cli_corpus_quality(spark, tmp_path):
+    docs_in = str(tmp_path / "docs.parquet")
+    rows = [("d%d" % i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(20)] + [("bad", "zz")]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(docs_in)
+
+    flags_out = str(tmp_path / "flags")
+    assert cli.main(["corpus-quality", "--input", docs_in,
+                     "--output", flags_out]) == 0
+    flags = _read(spark, flags_out)
+    assert set(flags.columns) == {"doc_id", "keep", "reasons"}
+    assert flags.filter("NOT keep").count() >= 1
+
+    drop_out = str(tmp_path / "kept")
+    assert cli.main(["corpus-quality", "--input", docs_in,
+                     "--output", drop_out, "--drop"]) == 0
+    kept = _read(spark, drop_out)
+    assert "text" in kept.columns
+    assert kept.count() == flags.filter("keep").count()
