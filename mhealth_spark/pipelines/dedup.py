@@ -58,6 +58,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 5,
     hash_fn: str = "xxh",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """k MinHash values per doc over word n-gram shingles.
 
@@ -66,9 +67,12 @@ def minhash_signatures(
     hash_fn='md5' is the ORACLE-ONLY parity tier (string minima,
     byte-identical in DuckDB) — 8 full md5s per shingle, never the
     production path. Docs with no shingles are dropped (no signature).
-    """
+    ``extra_cols`` ride through untouched (the streaming face needs the
+    event-time column next to the signature)."""
     sh = shingles_col(text_col, shingle_n)
-    base = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], sh.alias("sh")
+    ).filter(F.size("sh") > 0)
 
     # NB: closures via factory functions, NOT default args — PySpark
     # introspects lambda arity, and `lambda s, i=i:` becomes the 2-arg
@@ -98,7 +102,46 @@ def minhash_signatures(
         )
 
     return base.withColumn("_acc", F.aggregate("sh", zero, step)).select(
-        id_col, *[F.col(f"_acc.m{i}").alias(f"mh{i}") for i in range(num_hashes)]
+        id_col,
+        *[F.col(c) for c in extra_cols],
+        *[F.col(f"_acc.m{i}").alias(f"mh{i}") for i in range(num_hashes)],
+    )
+
+
+def band_buckets(
+    sig: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame: ONE band-struct
+    array exploded per row — a union of per-band selects would re-run the
+    whole signature fold once per band (each union branch is its own
+    subplan; the fold is ~all the cost). Shared by the batch candidate
+    generator and the streaming near-dup flagger."""
+    n_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[f"mh{b * band_size + j}" for j in range(band_size)],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(band_structs).alias("_bb"),
+    ).select(
+        id_col,
+        *extra_cols,
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
     )
 
 
@@ -115,25 +158,7 @@ def minhash_lsh_candidates(
     (id_a < id_b). The join key is (band_index, band_hash) — a plain
     shuffled equi-join; no global cross product."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
-    n_bands = num_hashes // band_size
-    # ONE band-struct array exploded from each signature row — a union of
-    # per-band selects would re-run the whole signature fold once per band
-    # (each union branch is its own subplan; the fold is ~all the cost)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[f"mh{b * band_size + j}" for j in range(band_size)],
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("_bb")
-    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    exploded = band_buckets(sig, num_hashes, band_size, id_col)
     # pair generation via groupBy(bucket) + in-bucket combination expansion
     # instead of a self-join: a self-join would compute the signature table
     # TWICE (the testdata repartition is round-robin/nondeterministic, which

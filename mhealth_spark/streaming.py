@@ -285,3 +285,104 @@ def stream_asof_enrich(
     cols = value_cols or [c for c in static_dim.columns if c != entity_col]
     dim = static_dim.select(entity_col, *cols)
     return stream.join(F.broadcast(dim), entity_col, "left")
+
+
+def stream_neardup_candidates(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+    max_bucket_ids: int = 64,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the incremental face of
+    ``dedup.minhash_lsh_candidates``: signatures and band buckets are the
+    SAME stateless expressions as batch (``minhash_signatures`` +
+    ``band_buckets``, xxh tier), then a custom stateful operator keyed on
+    (band, bucket) emits a (matched_id → doc_id) candidate row whenever a
+    new document lands in a bucket that already holds earlier documents.
+
+    State per bucket is the id list, capped at ``max_bucket_ids`` (an LSH
+    bucket is small by construction — a hot bucket past the cap stops
+    emitting new pairs against its overflow, logged by the ``truncated``
+    flag) and expired ``state_ttl_ms`` past the watermark. Pairs are
+    emitted once per shared band; ``distinct()`` downstream (or the batch
+    backstop over the full corpus) collapses multi-band hits. Candidates
+    only — refine with exact Jaccard/cosine offline, exactly like batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mhealth_spark.pipelines.dedup import band_buckets, minhash_signatures
+
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    sig = minhash_signatures(
+        docs.select(id_col, ts_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        hash_fn="xxh",
+        extra_cols=(ts_col,),
+    )
+    bands = band_buckets(
+        sig, num_hashes, band_size, id_col, extra_cols=(ts_col,)
+    )
+
+    out_schema = (
+        f"band int, bucket string, matched_id string, {id_col} string, "
+        f"{ts_col} timestamp, truncated boolean"
+    )
+    state_schema = "ids array<string>, last_us bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[str] = []
+        if state.exists:
+            ids_raw, _ = state.get
+            ids = list(ids_raw)
+        band, bucket = key
+        last_us = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            rows = []
+            for did, ts in zip(pdf[id_col], pdf[ts_col]):
+                if did in ids:
+                    continue
+                truncated = len(ids) >= max_bucket_ids
+                for mid in ids:
+                    rows.append((band, bucket, mid, did, ts, truncated))
+                if not truncated:
+                    ids.append(did)
+            last_us = int(
+                pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").max()
+            )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "band", "bucket", "matched_id", id_col, ts_col,
+                        "truncated",
+                    ],
+                )
+        if last_us is not None:
+            state.update((ids, last_us))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+
+    return (
+        bands.withWatermark(ts_col, watermark)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

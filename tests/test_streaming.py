@@ -254,3 +254,71 @@ def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
         b = batch[cols].sort_values(cols).reset_index(drop=True)
         g = got[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(b, g)
+
+
+def test_stream_neardup_candidates_matches_batch(spark, tmp_path):
+    """stream_neardup_candidates across two microbatches: the distinct
+    unordered candidate-pair set must equal the batch
+    minhash_lsh_candidates (xxh tier) on the same docs — the carried
+    per-bucket id state exactly reconstructs the batch bucket grouping."""
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+    from mhealth_spark.streaming import stream_neardup_candidates
+
+    base = dt.datetime(2024, 1, 1)
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine eleven",
+        "totally different words in this particular document here now yes",
+    ]
+    rows = []
+    for i in range(20):
+        rows.append(
+            dict(
+                doc_id=f"d{i:02d}",
+                ts=base + dt.timedelta(minutes=i),
+                text=texts[i % len(texts)],
+            )
+        )
+    pdf = pd.DataFrame(rows)
+    path = tmp_path / "nd_stream"
+    path.mkdir()
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    cut = base + dt.timedelta(minutes=10)
+    sdf.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(
+        str(path / "b0")
+    )
+    import time as _t
+
+    _t.sleep(1.1)
+    sdf.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(
+        str(path / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path / "*"))
+    )
+    out = stream_neardup_candidates(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_nd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_nd").toPandas()
+    assert not got.truncated.any()
+    stream_pairs = {
+        tuple(sorted(p)) for p in zip(got.matched_id, got.doc_id)
+    }
+
+    batch = minhash_lsh_candidates(sdf, hash_fn="xxh").toPandas()
+    batch_pairs = {tuple(sorted(p)) for p in zip(batch.id_a, batch.id_b)}
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0
