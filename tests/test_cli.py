@@ -120,3 +120,29 @@ def test_cli_corpus_quality(spark, tmp_path):
     kept = _read(spark, drop_out)
     assert "text" in kept.columns
     assert kept.count() == flags.filter("keep").count()
+
+
+def test_cli_corpus_dedup_and_decontaminate(spark, tmp_path):
+    docs_in = str(tmp_path / "docs.parquet")
+    rows = [("d%d" % i,
+             "alpha beta gamma delta epsilon zeta eta theta iota word%d" % (i % 3))
+            for i in range(12)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(docs_in)
+
+    pairs_out = str(tmp_path / "pairs")
+    assert cli.main(["corpus-dedup", "--input", docs_in,
+                     "--output", pairs_out]) == 0
+    pairs = _read(spark, pairs_out)
+    assert {"id_a", "id_b"} <= set(pairs.columns)
+    assert pairs.count() > 0
+
+    bench_in = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(rows[:2], ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(bench_in)
+    clean_out = str(tmp_path / "clean")
+    assert cli.main(["corpus-decontaminate", "--input", docs_in,
+                     "--output", clean_out, "--benchmark", bench_in]) == 0
+    assert _read(spark, clean_out).count() < 12
