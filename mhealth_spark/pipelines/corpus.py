@@ -503,3 +503,48 @@ def pack_token_arrays(
         F.size("packed_tokens").alias("pack_len"),
         "packed_tokens",
     )
+
+
+def split_unigram_drift(
+    tokens: DataFrame,
+    train_weight: float = 0.9,
+    salt: str = "split0",
+    alpha: float = 0.5,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution-shift QA for a hash split: KL(train ‖ holdout) between
+    the two splits' add-alpha unigram distributions over the union vocab.
+    A healthy random split reads near zero; a biased split (or a corpus
+    whose sources cluster in hash space — impossible with md5, so a red
+    flag for pipeline bugs) reads high.
+
+    One explode + ONE groupBy(token) with conditional sums (no join of
+    the two distributions), vocab-bounded shuffle; the three totals
+    collect driver-side (scalars) and fold into the KL expression. Output
+    is a single audit row."""
+    lab = split_corpus(
+        tokens.select(id_col, tokens_col),
+        {"train": train_weight, "holdout": 1.0 - train_weight},
+        id_col=id_col,
+        salt=salt,
+    )
+    ex = lab.select("split", F.explode(tokens_col).alias("token"))
+    is_tr = F.col("split") == "train"
+    c = ex.groupBy("token").agg(
+        F.sum(F.when(is_tr, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_tr, 0).otherwise(1)).alias("cv"),
+    )
+    t = c.agg(
+        F.sum("ct").alias("tt"), F.sum("cv").alias("tv"), F.count("*").alias("v")
+    ).collect()[0]
+    denom_t = float(t["tt"]) + alpha * float(t["v"])
+    denom_v = float(t["tv"]) + alpha * float(t["v"])
+    p = (F.col("ct") + F.lit(alpha)) / F.lit(denom_t)
+    q = (F.col("cv") + F.lit(alpha)) / F.lit(denom_v)
+    return c.agg(
+        F.sum(p * F.log(p / q)).alias("kl_train_holdout"),
+        F.count("*").cast("long").alias("vocab"),
+        F.lit(int(t["tt"])).cast("long").alias("tokens_train"),
+        F.lit(int(t["tv"])).cast("long").alias("tokens_holdout"),
+    )

@@ -1307,3 +1307,41 @@ def corpus_pack_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pack_fp"),
     )
+
+
+@register(
+    "corpus_split_drift",
+    f"""
+    WITH lab AS (SELECT doc_id, tokens,
+                        CASE WHEN substring(md5(doc_id || '#split0'), 1, 8)
+                                  < '{_hx_thresh(0.9)}'
+                             THEN 'train' ELSE 'holdout' END AS split
+                 FROM {_TOKENS_DUCK}),
+    ex AS (SELECT split, unnest(tokens) AS token FROM lab),
+    c AS (SELECT token,
+                 sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN split = 'train' THEN 0 ELSE 1 END) AS cv
+          FROM ex GROUP BY 1),
+    t AS (SELECT sum(ct) AS tt, sum(cv) AS tv, count(*) AS v FROM c),
+    k AS (SELECT (c.ct + 0.5) / (t.tt + 0.5 * t.v) AS p,
+                 (c.cv + 0.5) / (t.tv + 0.5 * t.v) AS q
+          FROM c, t)
+    SELECT round(sum(p * ln(p / q)), 6) AS kl_train_holdout,
+           (SELECT CAST(v AS BIGINT) FROM t) AS vocab,
+           (SELECT CAST(tt AS BIGINT) FROM t) AS tokens_train,
+           (SELECT CAST(tv AS BIGINT) FROM t) AS tokens_holdout
+    FROM k
+    """,
+)
+def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit: KL between the train/holdout splits'
+    add-alpha unigram distributions (one vocab-bounded groupBy)."""
+    from mhealth_spark.pipelines.corpus import split_unigram_drift
+
+    out = split_unigram_drift(_tokens(spark))
+    return out.select(
+        F.round("kl_train_holdout", 6).alias("kl_train_holdout"),
+        "vocab",
+        "tokens_train",
+        "tokens_holdout",
+    )
