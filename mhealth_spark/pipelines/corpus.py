@@ -548,3 +548,25 @@ def split_unigram_drift(
         F.lit(int(t["tt"])).cast("long").alias("tokens_train"),
         F.lit(int(t["tv"])).cast("long").alias("tokens_holdout"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "writer_id",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap0",
+) -> DataFrame:
+    """Per-group contribution cap: keep at most ``cap`` rows per group in
+    deterministic md5-draw order (author/domain balancing — no prolific
+    writer dominates the mix; the kept subset is a uniform sample of the
+    group and stable across runs/engines). One window exchange on the
+    group key."""
+    hx = _hex8(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy("_hx", id_col)
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_hx", "_rn")
+    )

@@ -1345,3 +1345,56 @@ def corpus_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_train",
         "tokens_holdout",
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    f"""
+    WITH comp AS ({_COMPONENTS_SQL}),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup audit: cluster-size histogram over the connected
+    components (how much of the corpus is duplicated, and how deep)."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
+    comp = dedup.neardup_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    ).select(
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+@register(
+    "corpus_writer_cap",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id,
+                      substring(md5(doc_id || '#cap0'), 1, 8) AS hx
+               FROM {_TOKENS_DUCK}),
+    r AS (SELECT doc_id, writer_id,
+                 row_number() OVER (PARTITION BY writer_id
+                                    ORDER BY hx, doc_id) AS rn
+          FROM t)
+    SELECT doc_id, writer_id FROM r WHERE rn <= 5
+    """,
+)
+def corpus_writer_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-writer contribution cap: keep at most N docs per writer in
+    deterministic hash order — the standard author-balancing pass that
+    stops one prolific writer from dominating a training mix. One window
+    exchange on writer_id (the skewed key the engine's synthetic corpus
+    deliberately exercises; a heavy writer caps out at N regardless)."""
+    from mhealth_spark.pipelines.corpus import cap_per_group
+
+    tk = _tokens(spark).select("doc_id", "writer_id")
+    return cap_per_group(tk, group_col="writer_id", cap=5, salt="cap0")
