@@ -1398,3 +1398,34 @@ def corpus_writer_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tk = _tokens(spark).select("doc_id", "writer_id")
     return cap_per_group(tk, group_col="writer_id", cap=5, salt="cap0")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                      octet_length(encode(text)) AS nb
+               FROM documents),
+    f AS (SELECT media_id,
+                 unnest(generate_series(0,
+                     least(4, greatest(1, nb // 64)) - 1)) AS frame_idx
+          FROM m)
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS byte_offset
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame-sampling plumbing (mapInPandas): per payload,
+    byte-offset samples — the oracle checks the fan-out shape and
+    offsets; the sample bytes themselves are value-checked by
+    `test_frame_sample_bytes_exact` (BLOB slicing is not portable SQL)."""
+    media = multimodal.wrap_as_media(
+        _docs(spark, sf_dir), "doc_id", F.encode(F.col("text"), "UTF-8")
+    )
+    frames = multimodal.frame_sample_stub(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "byte_offset",
+    )

@@ -650,3 +650,20 @@ def test_pack_token_arrays_conservation(spark):
     for src, grp in out.groupby("source"):
         assert grp.pack_len.sum() == totals[src][0], src
         assert grp.n_docs.sum() == totals[src][1], src
+
+
+def test_frame_sample_bytes_exact(spark):
+    """Value check for the frame-sampling plumbing: sample bytes equal
+    python-side slicing of the same UTF-8 payloads."""
+    from mhealth_spark.pipelines.multimodal import frame_sample_stub, wrap_as_media
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).limit(50)
+    media = wrap_as_media(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    frames = frame_sample_stub(media, every_n_bytes=64, max_frames=4).toPandas()
+    texts = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+    assert len(frames) > 0
+    for _, r in frames.iterrows():
+        payload = texts[r.media_id].encode("utf-8")
+        off = int(r.byte_offset)
+        assert bytes(r["sample"]) == payload[off:off + 16], r.media_id
