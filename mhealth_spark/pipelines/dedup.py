@@ -590,3 +590,28 @@ def dedup_survivors(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def exact_dedup_prefix_groups(
+    tokens: DataFrame,
+    prefix_len: int = 32,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Prefix dedup: group docs by the md5 of their FIRST ``prefix_len``
+    token ids — catches shared boilerplate headers / templated openings
+    that full-content dedup misses (bodies differ, heads repeat). Same
+    one-shuffle shape as the other exact tiers."""
+    fp_col = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(tokens_col, 1, prefix_len), lambda t: t.cast("string")
+            ),
+        )
+    )
+    fp = tokens.select(F.col(id_col), fp_col.alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("keep_id")
+    )
+    return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")

@@ -336,3 +336,36 @@ def ann_ivf_oneshot(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def source_centroids(
+    emb: DataFrame,
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_col: str = "source",
+) -> DataFrame:
+    """Per-source embedding centroid (elementwise mean vector): the
+    domain signature used for corpus steering / cluster seeding.
+    posexplode → groupBy (source, dim) avg → reassemble in dim order.
+    Shuffle bounded by |sources| × dim, not the corpus; means use
+    Spark/DuckDB's identical pairwise-safe avg over exact float32→double
+    widenings."""
+    ex = emb.join(docs.select(F.col("doc_id").alias(id_col), by_col), id_col).select(
+        by_col,
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        ),
+    )
+    per_dim = ex.groupBy(by_col, "dim").agg(
+        F.avg("v").alias("m"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy(by_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("m")))
+            ).getField("m").alias("centroid"),
+            F.first("n").alias("n_vecs"),
+        )
+    )

@@ -1429,3 +1429,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         "byte_offset",
     )
+
+
+@register(
+    "dedup_exact_prefix",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      md5(array_to_string(tokens[1:32], ',')) AS fp
+               FROM {_TOKENS_DUCK}),
+    g AS (SELECT fp, count(*) AS group_size, min(doc_id) AS keep_id
+          FROM d GROUP BY 1)
+    SELECT d.doc_id AS doc_id, g.group_size AS group_size, g.keep_id AS keep_id
+    FROM d JOIN g USING (fp)
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup (32-token head): catches shared boilerplate openings
+    that full-content dedup misses."""
+    return dedup.exact_dedup_prefix_groups(_tokens(spark), prefix_len=32)
+
+
+@register(
+    "similarity_source_centroids",
+    """
+    WITH j AS (SELECT d.source, e.embedding
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    ex AS (SELECT source, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           FROM j, unnest(generate_series(1, len(embedding))) AS t(i))
+    SELECT source, CAST(dim AS INT) AS dim, round(avg(v), 6) AS mean_v,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def similarity_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid, emitted per-dimension for the
+    oracle compare (the operator reassembles the array form)."""
+    from mhealth_spark.pipelines.similarity import source_centroids
+
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    cent = source_centroids(emb, docs)
+    return cent.select(
+        "source",
+        F.posexplode("centroid").alias("dim", "mean_v"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+    ).select(
+        "source",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("mean_v", 6).alias("mean_v"),
+        "n_vecs",
+    )
