@@ -131,6 +131,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="emit only keep==true docs (full columns) instead "
                      "of the (doc_id, keep, reasons) annotation table")
 
+    p_build = sub.add_parser(
+        "corpus-build",
+        help="end-to-end corpus build: quality filter -> decontaminate -> "
+        "exact dedup -> fuzzy dedup -> temperature sample -> split; "
+        "prints the per-stage audit counts",
+    )
+    add_io(p_build)
+    p_build.add_argument("--benchmark", default=None,
+                         help="eval-set table to decontaminate against")
+    p_build.add_argument("--alpha", type=float, default=None,
+                         help="temperature sampling exponent (omit to skip)")
+    p_build.add_argument("--weights", default=None,
+                         help="split weights name=frac[,...] (omit to skip)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "package":
@@ -242,6 +256,20 @@ def main(argv: list[str] | None = None) -> int:
             out = df.join(keep_ids, "doc_id", "left_semi")
         else:
             out = flags
+    elif args.cmd == "corpus-build":
+        from mhealth_spark.pipelines.corpus import build_corpus
+
+        weights = None
+        if args.weights:
+            weights = {}
+            for part in args.weights.split(","):
+                name, frac = part.split("=")
+                weights[name] = float(frac)
+        bench = read_table(spark, args.benchmark) if args.benchmark else None
+        out, audit = build_corpus(
+            df, benchmark=bench, sample_alpha=args.alpha, split_weights=weights
+        )
+        print(audit)
     else:  # pragma: no cover
         raise SystemExit(f"unknown cmd {args.cmd}")
 

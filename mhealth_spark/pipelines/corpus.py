@@ -570,3 +570,76 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_hx", "_rn")
     )
+
+
+def build_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    quality_overrides: dict | None = None,
+    sample_alpha: float | None = None,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, int]]:
+    """End-to-end corpus build — the whole pipeline in one call, in the
+    canonical order a pretraining build runs it:
+
+    1. quality filter (Gopher-family rules; ``quality_overrides``)
+    2. benchmark decontamination (if ``benchmark`` given)
+    3. exact dedup (normalized-text md5, min-id survivor)
+    4. fuzzy dedup (MinHash-LSH candidates → connected components →
+       one survivor per cluster)
+    5. temperature sampling per source (if ``sample_alpha`` given)
+    6. train/val/test hash split (if ``split_weights`` given)
+
+    Returns (final DataFrame, audit dict of per-stage surviving counts).
+    The audit counts run one action per stage — acceptable for a batch
+    build job (each stage's output is work the next stage consumes
+    anyway); pass through ``.cache()`` upstream if re-running stages.
+    Every stage is deterministic (content hashes, no RNG), so a resumed
+    or re-planned build keeps identical documents.
+    """
+    from mhealth_spark.pipelines.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_candidates,
+        neardup_components,
+    )
+    from mhealth_spark.pipelines.text import quality_filter
+
+    audit: dict[str, int] = {"input": docs.count()}
+
+    flags = quality_filter(docs, text_col, id_col, **(quality_overrides or {}))
+    keep = flags.filter("keep").select(id_col)
+    cur = docs.join(keep, id_col, "left_semi")
+    audit["after_quality"] = cur.count()
+
+    if benchmark is not None:
+        cur = decontaminate(cur, benchmark, text_col, id_col)
+        audit["after_decontaminate"] = cur.count()
+
+    groups = exact_dedup_groups(cur, id_col, text_col)
+    exact_keep = groups.filter(
+        F.col(id_col) == F.col("keep_id")
+    ).select(id_col)
+    cur = cur.join(exact_keep, id_col, "left_semi")
+    audit["after_exact_dedup"] = cur.count()
+
+    pairs = minhash_lsh_candidates(cur, id_col, text_col)
+    comp = neardup_components(pairs)
+    drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    cur = cur.join(drop, id_col, "left_anti")
+    audit["after_fuzzy_dedup"] = cur.count()
+
+    if sample_alpha is not None:
+        rates = temperature_rates(
+            cur.withColumn("n_tok", F.size(F.split(text_col, r"\s+"))),
+            alpha=sample_alpha,
+        )
+        cur = sample_corpus(
+            cur, rate=0.0, strata_col="source", strata_rates=rates
+        )
+        audit["after_sampling"] = cur.count()
+
+    if split_weights is not None:
+        cur = split_corpus(cur, split_weights, id_col)
+    return cur, audit

@@ -146,3 +146,19 @@ def test_cli_corpus_dedup_and_decontaminate(spark, tmp_path):
     assert cli.main(["corpus-decontaminate", "--input", docs_in,
                      "--output", clean_out, "--benchmark", bench_in]) == 0
     assert _read(spark, clean_out).count() < 12
+
+
+def test_cli_corpus_build(spark, tmp_path):
+    from mhealth_spark.source import read_table
+
+    docs_in = str(tmp_path / "docs.parquet")
+    read_table(spark, "documents", "/root/testdata/sf0.001").write.mode(
+        "overwrite"
+    ).parquet(docs_in)
+    out = str(tmp_path / "built")
+    rc = cli.main(["corpus-build", "--input", docs_in, "--output", out,
+                   "--weights", "train=0.9,val=0.1"])
+    assert rc == 0
+    built = _read(spark, out)
+    assert "split" in built.columns
+    assert 0 < built.count() <= 500

@@ -667,3 +667,40 @@ def test_frame_sample_bytes_exact(spark):
         payload = texts[r.media_id].encode("utf-8")
         off = int(r.byte_offset)
         assert bytes(r["sample"]) == payload[off:off + 16], r.media_id
+
+
+def test_build_corpus_end_to_end(spark):
+    """The one-call corpus build: stage counts are monotone non-increasing,
+    audit keys are complete, the final frame carries split labels, and a
+    re-run produces the identical document set (determinism)."""
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+
+    out, audit = build_corpus(
+        corpus,
+        benchmark=bench,
+        sample_alpha=0.5,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    stages = ["input", "after_quality", "after_decontaminate",
+              "after_exact_dedup", "after_fuzzy_dedup", "after_sampling"]
+    assert list(audit) == stages
+    counts = [audit[s] for s in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+    pdf = out.toPandas()
+    assert set(pdf["split"]) <= {"train", "val"}
+    assert len(pdf) == audit["after_sampling"]
+
+    out2, audit2 = build_corpus(
+        corpus,
+        benchmark=bench,
+        sample_alpha=0.5,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    assert audit2 == audit
+    assert set(out2.toPandas()["doc_id"]) == set(pdf["doc_id"])
