@@ -1479,3 +1479,45 @@ def similarity_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_v", 6).alias("mean_v"),
         "n_vecs",
     )
+
+
+@register(
+    "tokens_anomaly",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok FROM {_TOKENS_DUCK}),
+    s AS (SELECT doc_id, writer_id, ts, n_tok,
+                 avg(n_tok) OVER wb AS m,
+                 stddev_samp(n_tok) OVER wb AS sd,
+                 count(n_tok) OVER wb AS c
+          FROM t
+          WINDOW wb AS (PARTITION BY writer_id ORDER BY ts, doc_id
+                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           round(m, 6) AS roll_mean,
+           round(sd, 6) AS roll_std,
+           CAST(c AS BIGINT) AS roll_count,
+           round(CASE WHEN c >= 5 AND sd > 0 THEN (n_tok - m) / sd END, 6)
+               AS z_score,
+           COALESCE(abs(CASE WHEN c >= 5 AND sd > 0 THEN (n_tok - m) / sd END)
+                    > 3.0, false) AS is_anomaly
+    FROM s
+    """,
+)
+def tokens_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags per (writer, ts) — the
+    ingestion-QA pass over the same leakage-free window frame as the
+    feature-vector tier."""
+    from mhealth_spark.tokens_engine import anomaly_scores
+
+    out = anomaly_scores(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.round("roll_std", 6).alias("roll_std"),
+        F.col("roll_count").cast("long").alias("roll_count"),
+        F.round("z_score", 6).alias("z_score"),
+        "is_anomaly",
+    )

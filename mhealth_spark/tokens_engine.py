@@ -369,3 +369,43 @@ def daily_source_stats(
         ],
         salt_buckets=salt_buckets,
     )
+
+
+def anomaly_scores(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_rows: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Per-(entity, ts) anomaly score: z of ``n_tok`` against the entity's
+    trailing window mean/std (strictly past rows — the same leakage-free
+    frame as ``feature_vectors``). Sequences whose length jumps out of
+    their writer's recent distribution are flagged — the stream-QA pass
+    that catches ingestion glitches (truncation, concatenation bugs,
+    format changes) per source/writer. ``min_history`` gates the score so
+    an entity's first rows never alarm on an undefined std. One window
+    exchange over the narrow projection — identical plan shape (and
+    layout reuse) as the feature-vector tier."""
+    narrow = tokens.select("doc_id", entity_col, ts_col, "n_tok")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, "doc_id")
+    wb = w.rowsBetween(-lookback_rows, -1)
+    n = F.col("n_tok")
+    mean = F.avg(n).over(wb)
+    std = F.stddev_samp(n).over(wb)
+    cnt = F.count(n).over(wb)
+    z = F.when(
+        (cnt >= min_history) & (std > 0), (n - mean) / std
+    )
+    return narrow.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        "n_tok",
+        mean.alias("roll_mean"),
+        std.alias("roll_std"),
+        cnt.alias("roll_count"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
