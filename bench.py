@@ -52,7 +52,8 @@ def main() -> None:
     extra = [
         n
         for n in QUERIES
-        if n not in names and n.startswith(("dedup", "ann", "text", "corpus", "tokens"))
+        if n not in names
+        and n.startswith(("dedup", "ann", "text", "corpus", "tokens", "similarity"))
     ]
     names += extra
 

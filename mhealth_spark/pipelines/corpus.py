@@ -643,3 +643,25 @@ def build_corpus(
     if split_weights is not None:
         cur = split_corpus(cur, split_weights, id_col)
     return cur, audit
+
+
+def select_best_per_group(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    group_col: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-based data selection: the top-``k`` docs per group by a
+    score column (ties → lower id), e.g. the unigram log-prob scores.
+    This is the 'select the best N per domain' pass of curation pipelines;
+    one window exchange on the group key, rank rounded to 9 dp before
+    comparison so any engine ranks identically."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.round(F.col(score_col), 9).desc(), id_col
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "quality_rank")
+    )

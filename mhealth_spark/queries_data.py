@@ -1521,3 +1521,44 @@ def tokens_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z_score", 6).alias("z_score"),
         "is_anomaly",
     )
+
+
+@register(
+    "corpus_select_best",
+    f"""
+    WITH ex AS (SELECT doc_id, source, unnest(tokens) AS token
+                FROM {_TOKENS_DUCK}),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+    p AS (SELECT token, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+          FROM c, t),
+    s AS (SELECT ex.doc_id, ex.source, avg(p.logp) AS mean_logprob
+          FROM ex JOIN p USING (token) GROUP BY 1, 2),
+    r AS (SELECT doc_id, source, mean_logprob,
+                 row_number() OVER (PARTITION BY source
+                    ORDER BY round(mean_logprob, 9) DESC, doc_id) AS rk
+          FROM s)
+    SELECT doc_id, source, round(mean_logprob, 6) AS mean_logprob,
+           CAST(rk AS INT) AS quality_rank
+    FROM r WHERE rk <= 25
+    """,
+)
+def corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection: top-25 docs per source by the unigram-LM quality
+    score — the 'best N per domain' curation pass."""
+    from mhealth_spark.pipelines.corpus import (
+        select_best_per_group,
+        unigram_logprob_scores,
+    )
+
+    tk = _tokens(spark)
+    scores = unigram_logprob_scores(tk).join(
+        tk.select("doc_id", "source"), "doc_id"
+    )
+    out = select_best_per_group(scores, k=25)
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.col("quality_rank").cast("int").alias("quality_rank"),
+    )
