@@ -386,3 +386,98 @@ def stream_neardup_candidates(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_anomaly(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_rows: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+    watermark: str = "2 hours",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Stateful streaming twin of ``tokens_engine.anomaly_scores``: per
+    (entity, ts) z of ``n_tok`` against the entity's trailing
+    ``lookback_rows`` window — the live ingestion-QA alarm. State per
+    entity is the last K counts (O(K) bytes, event-time-expired); on
+    in-order input the emitted rows are exactly the batch operator's
+    (tests assert it). Causality is structural: a row's z only ever sees
+    rows that arrived before it."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    K = lookback_rows
+    tokens = tokens.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    narrow = tokens.select("doc_id", entity_col, ts_col, "n_tok")
+    out_schema = (
+        f"doc_id string, {entity_col} string, {ts_col} timestamp, n_tok int, "
+        "roll_mean double, roll_std double, roll_count bigint, "
+        "z_score double, is_anomaly boolean"
+    )
+    state_schema = "tail array<int>, last_us bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        tail: list[int] = []
+        if state.exists:
+            tail_raw, _ = state.get
+            tail = list(tail_raw)
+        last_us = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, "doc_id"], kind="mergesort")
+            rows = []
+            for did, ent, ts, n in zip(
+                pdf["doc_id"], pdf[entity_col], pdf[ts_col], pdf["n_tok"]
+            ):
+                n = int(n)
+                c = len(tail)
+                mean = std = z = None
+                if c > 0:
+                    mean = sum(tail) / c
+                    if c > 1:
+                        var = sum((x - mean) ** 2 for x in tail) / (c - 1)
+                        std = math.sqrt(var)
+                    if c >= min_history and std is not None and std > 0:
+                        z = (n - mean) / std
+                rows.append(
+                    (
+                        did, ent, ts, n, mean, std, c, z,
+                        bool(z is not None and abs(z) > z_threshold),
+                    )
+                )
+                tail.append(n)
+                if len(tail) > K:
+                    tail.pop(0)
+            last_us = int(
+                pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").max()
+            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", entity_col, ts_col, "n_tok", "roll_mean",
+                    "roll_std", "roll_count", "z_score", "is_anomaly",
+                ],
+            )
+        if last_us is not None:
+            state.update((tail, last_us))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+
+    return (
+        narrow.withWatermark(ts_col, watermark)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -322,3 +322,70 @@ def test_stream_neardup_candidates_matches_batch(spark, tmp_path):
     batch_pairs = {tuple(sorted(p)) for p in zip(batch.id_a, batch.id_b)}
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """stream_anomaly across two microbatches equals the batch
+    anomaly_scores on in-order input — the carried K-count tail exactly
+    reconstructs the batch trailing frame (incl. mean/std/z/flag)."""
+    from mhealth_spark.streaming import stream_anomaly
+    from mhealth_spark.tokens_engine import anomaly_scores
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for w in ["w1", "w2"]:
+        for i in range(40):
+            n = (i * 7) % 23 + 5
+            if i == 30:
+                n = 500  # injected anomaly
+            rows.append(
+                dict(
+                    doc_id=f"{w}-d{i:03d}",
+                    writer_id=w,
+                    ts=base + dt.timedelta(minutes=11 * i),
+                    n_tok=n,
+                )
+            )
+    pdf = pd.DataFrame(rows)
+    path = tmp_path / "anom_stream"
+    path.mkdir()
+    sdf = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).withColumn("n_tok", F.col("n_tok").cast("int"))
+    cut = base + dt.timedelta(minutes=11 * 20)
+    sdf.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(str(path / "b0"))
+    import time as _t
+
+    _t.sleep(1.1)
+    sdf.where(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(str(path / "b1"))
+
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(path / "*"))
+    )
+    q = (
+        stream_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("t_anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_anom").toPandas()
+
+    batch = anomaly_scores(sdf).toPandas()
+    cols = ["doc_id", "writer_id", "n_tok", "roll_count", "is_anomaly"]
+    g = got[cols + ["roll_mean", "roll_std", "z_score"]].sort_values(
+        "doc_id").reset_index(drop=True)
+    b = batch[cols + ["roll_mean", "roll_std", "z_score"]].sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(g) == len(b) == 80
+    assert g.is_anomaly.sum() >= 2  # the injected spikes alarm
+    pd.testing.assert_frame_equal(
+        g.astype({"roll_count": "int64"}),
+        b.astype({"roll_count": "int64"}),
+        check_dtype=False,
+        atol=1e-9,
+    )
