@@ -51,6 +51,53 @@ _XML_RECORD_FIELDS = [
 ]
 
 
+# Flush parsed Records to an Arrow batch every this many rows: peak
+# Python-side memory per task is O(chunk + iterparse window), independent
+# of export size — real exports open at 2 GB+ (tracemalloc-verified in
+# tests/test_scale.py::test_healthkit_xml_streaming_memory_bound).
+_XML_CHUNK_ROWS = 65536
+
+
+def _parse_healthkit_export(content: bytes, chunk_rows: int = _XML_CHUNK_ROWS):
+    """Stream one HealthKit export: yield pandas DataFrames of at most
+    ``chunk_rows`` Record rows. iterparse + ``elem.clear()`` keeps the
+    element tree window-sized; the row buffer flushes per chunk, so
+    neither the DOM nor the full record list is ever resident."""
+    import io
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    names = [n for n, _ in _XML_RECORD_FIELDS]
+    rows: list[tuple] = []
+    for _, elem in ET.iterparse(io.BytesIO(content)):
+        if elem.tag != "Record":
+            continue
+        a = elem.attrib
+        md = {
+            m.attrib.get("key"): m.attrib.get("value")
+            for m in elem.iter("MetadataEntry")
+        }
+        rows.append(
+            (
+                a.get("type"),
+                a.get("value"),
+                a.get("unit"),
+                a.get("sourceName"),
+                a.get("device"),
+                a.get("startDate"),
+                a.get("endDate"),
+                a.get("creationDate"),
+                md or None,
+            )
+        )
+        elem.clear()
+        if len(rows) >= chunk_rows:
+            yield pd.DataFrame(rows, columns=names)
+            rows = []
+    yield pd.DataFrame(rows, columns=names)
+
+
 def load_healthkit_xml(
     spark: SparkSession, path: str, user_id: str = "anon"
 ) -> DataFrame:
@@ -71,42 +118,12 @@ def load_healthkit_xml(
     true instants (``utc_start``/``utc_end``) and the export's own UTC
     offset is kept as ``timezone`` (e.g. ``-07:00``) for add_local_time.
     """
-    import pandas as pd
-
     schema = ", ".join(f"`{n}` {t}" for n, t in _XML_RECORD_FIELDS)
-    names = [n for n, _ in _XML_RECORD_FIELDS]
 
     def parse(batches):
-        import io
-        import xml.etree.ElementTree as ET
-
         for pdf in batches:
             for content in pdf["content"]:
-                rows = []
-                # iterparse + clear: stream the export, never hold the tree
-                for _, elem in ET.iterparse(io.BytesIO(bytes(content))):
-                    if elem.tag != "Record":
-                        continue
-                    a = elem.attrib
-                    md = {
-                        m.attrib.get("key"): m.attrib.get("value")
-                        for m in elem.iter("MetadataEntry")
-                    }
-                    rows.append(
-                        (
-                            a.get("type"),
-                            a.get("value"),
-                            a.get("unit"),
-                            a.get("sourceName"),
-                            a.get("device"),
-                            a.get("startDate"),
-                            a.get("endDate"),
-                            a.get("creationDate"),
-                            md or None,
-                        )
-                    )
-                    elem.clear()
-                yield pd.DataFrame(rows, columns=names)
+                yield from _parse_healthkit_export(bytes(content))
 
     raw = (
         spark.read.format("binaryFile")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
@@ -78,28 +79,52 @@ def pack_sequences_greedy(
     (ts, doc_id) order; a doc joins the current pack unless that would
     exceed ``budget`` (docs longer than the budget get a pack of their
     own). Prefix-dependent recurrence → Arrow-batched ``applyInPandas``
-    per entity (each group sorted in-kernel; numpy loop over group rows,
-    no Python in the JVM hot path)."""
+    per entity; the kernel's Python loop runs once per PACK boundary
+    (``searchsorted`` over the cumulative token sum), not once per row —
+    row-level work is all vectorized numpy.
+
+    **PARALLELISM HAZARD (read before running at scale):** first-fit
+    packing is an order-dependent recurrence over the WHOLE entity, so
+    one Spark task processes each entity end-to-end and results cannot be
+    split without changing them. With a coarse ``entity_col`` (e.g. ~8
+    ``source`` values) the job runs at parallelism 8 forever, no matter
+    how many executors exist — at 100 TB a single executor would walk
+    billions of rows. At scale either (a) use a finer entity key
+    (writer_id, shard_id) so groups are bounded, or (b) use
+    ``pack_sequences_chunked``, whose prefix-sum form is a plain window
+    and parallelizes on the same key. The greedy kernel is the
+    strict-budget tier for bounded groups, not the web-scale default."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, "doc_id"], kind="mergesort")
-        packs, fills = [], []
-        pack, fill = 0, 0
-        for n in pdf["n_tok"].to_numpy():
-            n = int(n)
-            if fill > 0 and fill + n > budget:
-                pack += 1
-                fill = 0
-            packs.append(pack)
-            fills.append(fill)
-            fill += n
+        n = pdf["n_tok"].to_numpy(dtype=np.int64)
+        m = len(n)
+        # Inclusive cumsum; a pack starting at row s ends at the largest e
+        # with cum[e] - prefix(s) <= budget (>= s itself: oversized docs
+        # get their own pack). Loop advances one PACK per iteration via
+        # searchsorted — O(packs * log m) Python-level steps.
+        cum = np.cumsum(n)
+        starts = []
+        s = 0
+        while s < m:
+            starts.append(s)
+            prefix = cum[s - 1] if s > 0 else 0
+            e = int(np.searchsorted(cum, prefix + budget, side="right")) - 1
+            s = max(e + 1, s + 1)
+        starts_arr = np.asarray(starts, dtype=np.int64)
+        pack_id = np.zeros(m, dtype=np.int64)
+        pack_id[starts_arr[1:]] = 1
+        pack_id = np.cumsum(pack_id)
+        start_prefix = np.where(starts_arr > 0, cum[starts_arr - 1], 0)
+        prev_cum = np.concatenate(([0], cum[:-1]))
+        pack_fill = prev_cum - start_prefix[pack_id]
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "entity": pdf[entity_col].to_numpy(),
                 "n_tok": pdf["n_tok"].to_numpy(),
-                "pack_id": packs,
-                "pack_fill": fills,
+                "pack_id": pack_id,
+                "pack_fill": pack_fill,
             }
         )
 
@@ -606,6 +631,12 @@ def build_corpus(
     )
     from mhealth_spark.pipelines.text import quality_filter
 
+    if sample_alpha is not None and "source" not in docs.columns:
+        raise ValueError(
+            "build_corpus temperature sampling stratifies on a 'source' "
+            "column; input has none (pass sample_alpha=None or add it)"
+        )
+
     audit: dict[str, int] = {"input": docs.count()}
 
     flags = quality_filter(docs, text_col, id_col, **(quality_overrides or {}))
@@ -625,7 +656,9 @@ def build_corpus(
     audit["after_exact_dedup"] = cur.count()
 
     pairs = minhash_lsh_candidates(cur, id_col, text_col)
-    comp = neardup_components(pairs)
+    # neardup_components always names its output (doc_id, cluster_id);
+    # rename to the caller's id_col so a non-default key works end-to-end
+    comp = neardup_components(pairs).withColumnRenamed("doc_id", id_col)
     drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     cur = cur.join(drop, id_col, "left_anti")
     audit["after_fuzzy_dedup"] = cur.count()

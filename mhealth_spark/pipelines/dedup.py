@@ -33,6 +33,24 @@ def exact_dedup_groups(
     return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")
 
 
+def exact_dedup_groups_xxh(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scale tier of ``exact_dedup_groups``: xxhash64 over the normalized
+    text instead of md5 — one 64-bit JVM hash, no 32-char string
+    materialization or shuffle of it. Group STRUCTURE (who deduplicates
+    with whom) is identical to the md5 tier modulo hash collisions
+    (~2^-64 per pair); the md5 tier stays as the DuckDB-portable oracle.
+    Differential: tests/test_domains.py asserts identical
+    (group_size, keep_id) per doc across both tiers."""
+    norm = F.concat_ws(" ", words_col(text_col))
+    fp = df.select(F.col(id_col), F.xxhash64(norm).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("keep_id")
+    )
+    return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")
+
+
 def exact_dedup_token_groups(
     tokens: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
 ) -> DataFrame:
@@ -341,6 +359,18 @@ def simhash_neardup_candidates(
         )
     block_bits = sig_bits // n_blocks
     mask = (1 << block_bits) - 1
+    # Materialize the signature table ONCE before the self-join: the
+    # upstream fold (explode + n_bits aggregate sums) is ~all the cost and
+    # ReuseExchange does not fire on this input, so joining the lazy frame
+    # would compute it per side. Unlike minhash (fine-grained 64-bit band
+    # hashes), simhash block VALUES can be coarse (4-bit parity tier → 16
+    # buckets), so in-bucket groupBy pair expansion would build O(k²)
+    # structs in single rows; the join keeps pair generation distributed
+    # and AQE-skew-splittable. Checkpoint size is docs × 16 B — the
+    # standard "materialize the small derived table" trade at any scale.
+    sigs = sigs.select(F.col(id_col), F.col(sig_col)).localCheckpoint(
+        eager=True
+    )
     sig = F.col(sig_col)
     blocks = sigs.select(
         F.col(id_col).alias("id"),

@@ -366,6 +366,11 @@ def source_centroids(
             F.array_sort(
                 F.collect_list(F.struct(F.col("dim"), F.col("m")))
             ).getField("m").alias("centroid"),
-            F.first("n").alias("n_vecs"),
+            # max, not first: with ragged embedding arrays the per-dim
+            # counts differ and first() would report an arbitrary dim's
+            # count depending on aggregation order; max(n) is the number
+            # of vectors contributing to the best-covered dim — stable
+            # under any partitioning
+            F.max("n").alias("n_vecs"),
         )
     )

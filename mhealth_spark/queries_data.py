@@ -525,6 +525,60 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 1-bit multi-probe variant with FEWER tables (4 instead of 16): the probe
+# expansion recovers the recall the missing tables would have provided —
+# the classic memory/fan-out trade. Oracle expands the query-side signature
+# with every single-bit xor flip (0 = the original signature).
+_EMB_BANDS4_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM embeddings"
+    for b in range(4)
+)
+
+
+@register(
+    "ann_lsh_multiprobe1",
+    f"""
+    WITH bands AS ({_EMB_BANDS4_SQL}),
+    qprobe AS (
+      SELECT vec_id, band, xor(sig::BIGINT, p.m::BIGINT) AS sig
+      FROM bands, (VALUES (0),(1),(2),(4),(8)) p(m)
+      WHERE vec_id < 50),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM qprobe qb JOIN bands cb
+        ON qb.band = cb.band AND qb.sig = cb.sig AND cb.vec_id <> qb.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.embedding::DOUBLE[],
+                                    ec.embedding::DOUBLE[]) AS cos
+      FROM cand
+      JOIN embeddings eq ON eq.vec_id = query_id
+      JOIN embeddings ec ON ec.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 9) DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_multiprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_lsh_multiprobe(
+        emb, queries, k=5, band_bits=4, n_tables=4, probe_hamming=1
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -805,10 +859,38 @@ def corpus_pack_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# greedy packing is a prefix-dependent recurrence (applyInPandas kernel,
-# not SQL-expressible) → rows-only here; value-checked against a pure
-# Python reference in tests/test_domains.py
-@register("corpus_pack_greedy")
+# greedy packing is a prefix-dependent recurrence; it is still ANSI-SQL-
+# expressible as a recursive CTE advancing one row per entity per
+# iteration (ordered prefix recurrence over row_number) — full value
+# oracle, plus the pure-Python reference in tests/test_domains.py
+@register(
+    "corpus_pack_greedy",
+    f"""
+    WITH RECURSIVE o AS (
+        SELECT doc_id, source AS entity, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY ts, doc_id)
+                   AS rn
+        FROM {_TOKENS_DUCK}
+    ), rec AS (
+        SELECT entity, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS pack_fill,
+               CAST(n_tok AS BIGINT) AS fill_after
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.entity, o.rn, o.doc_id, o.n_tok,
+               CASE WHEN r.fill_after > 0 AND r.fill_after + o.n_tok > 2048
+                    THEN r.pack_id + 1 ELSE r.pack_id END,
+               CASE WHEN r.fill_after > 0 AND r.fill_after + o.n_tok > 2048
+                    THEN CAST(0 AS BIGINT) ELSE r.fill_after END,
+               CASE WHEN r.fill_after > 0 AND r.fill_after + o.n_tok > 2048
+                    THEN CAST(o.n_tok AS BIGINT)
+                    ELSE r.fill_after + o.n_tok END
+        FROM rec r JOIN o ON o.entity = r.entity AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, entity, n_tok, pack_id, pack_fill FROM rec
+    """,
+)
 def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.corpus import pack_sequences_greedy
 

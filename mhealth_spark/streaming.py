@@ -287,6 +287,61 @@ def stream_asof_enrich(
     return stream.join(F.broadcast(dim), entity_col, "left")
 
 
+def stream_backfill_features(
+    requests: DataFrame,
+    events: DataFrame,
+    entity_col: str = "source",
+    event_ts: str = "ts",
+    request_ts: str = "ts",
+    lookback_hours: float = 24.0,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming face of ``tokens_engine.backfill_features``: feature
+    REQUESTS arrive on a stream; the static event table is joined per
+    microbatch with the same strict as-of guard
+    (``e.ts <= r.ts AND e.ts > r.ts - lookback``) — zero temporal
+    leakage, and exact value agreement with the batch twin on the same
+    request set (pytest-checked, incl. zero-event requests via the left
+    join → docs_24h = 0).
+
+    Output modes: ``complete`` needs no watermark (test/replay face);
+    for production ``append``, pass a ``watermark`` — requests finalize
+    once the watermark passes their timestamp (a request later than the
+    allowed lateness is dropped, the standard trade). At scale the static
+    side should be the persisted entity-bucketed layout (source.py) so
+    the per-microbatch join co-locates on the entity without a full
+    shuffle; for dense regular grids prefer the batch
+    ``backfill_features_grid`` rollup and keep the stream path for
+    sparse/online request sets."""
+    r = requests
+    if watermark is not None:
+        r = r.withWatermark(request_ts, watermark)
+    r = r.alias("r")
+    e = events.alias("e")
+    lb_s = int(lookback_hours * 3600)
+    cond = (
+        (F.col(f"e.{entity_col}") == F.col(f"r.{entity_col}"))
+        & (F.col(f"e.{event_ts}") <= F.col(f"r.{request_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            > F.col(f"r.{request_ts}") - F.expr(f"INTERVAL {lb_s} SECONDS")
+        )
+    )
+    return (
+        r.join(e, cond, "left")
+        .groupBy(
+            F.col(f"r.{entity_col}").alias(entity_col),
+            F.col(f"r.{request_ts}").alias("ts"),
+        )
+        .agg(
+            F.count(F.col("e.n_tok")).alias("docs_24h"),
+            F.sum(F.col("e.n_tok")).alias("tokens_24h"),
+            F.avg(F.col("e.n_tok")).alias("mean_len_24h"),
+            F.max(F.col("e.n_tok")).alias("max_len_24h"),
+        )
+    )
+
+
 def stream_neardup_candidates(
     docs: DataFrame,
     ts_col: str = "ts",
@@ -360,9 +415,13 @@ def stream_neardup_candidates(
                     rows.append((band, bucket, mid, did, ts, truncated))
                 if not truncated:
                     ids.append(did)
-            last_us = int(
+            # max across ALL chunks of the microbatch — per-chunk
+            # assignment could regress the stored timestamp when a key's
+            # batch spans multiple Arrow chunks
+            chunk_max = int(
                 pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").max()
             )
+            last_us = chunk_max if last_us is None else max(last_us, chunk_max)
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -456,9 +515,11 @@ def stream_anomaly(
                 tail.append(n)
                 if len(tail) > K:
                     tail.pop(0)
-            last_us = int(
+            # max across ALL chunks (see stream_neardup_candidates)
+            chunk_max = int(
                 pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64").max()
             )
+            last_us = chunk_max if last_us is None else max(last_us, chunk_max)
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -209,6 +209,60 @@ def test_ann_multiprobe_recall_vs_bruteforce(spark):
     assert np.mean(recalls) >= 0.9, f"recall={np.mean(recalls):.3f}"
 
 
+def test_exact_dedup_xxh_tier_matches_md5_tier(spark):
+    """The xxhash64 scale tier must induce the SAME dedup structure as the
+    md5 oracle tier: identical (group_size, keep_id) per doc."""
+    from mhealth_spark.pipelines.dedup import (
+        exact_dedup_groups,
+        exact_dedup_groups_xxh,
+    )
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    a = exact_dedup_groups(docs).toPandas().sort_values("doc_id")
+    b = exact_dedup_groups_xxh(docs).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_ann_multiprobe_probes_improve_recall(spark):
+    """The 1-bit probe expansion must actually matter: with a SHRUNK table
+    count (4 instead of 16) probe_hamming=1 strictly widens the candidate
+    set and recovers recall vs probe_hamming=0 on the same tables."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_lsh_multiprobe,
+        ann_topk_bruteforce,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_topk_bruteforce(emb, queries, k=5).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    def recall(probe: int) -> tuple[float, int]:
+        approx = ann_lsh_multiprobe(
+            emb, queries, k=5, band_bits=4, n_tables=4, probe_hamming=probe
+        ).toPandas()
+        a = approx.groupby("query_id")["neighbor_id"].apply(set)
+        r = float(
+            np.mean(
+                [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+            )
+        )
+        return r, len(approx)
+
+    r0, n0 = recall(0)
+    r1, n1 = recall(1)
+    assert r1 >= r0, f"probe recall regressed: {r1:.3f} < {r0:.3f}"
+    assert r1 > 0.0 and n1 >= n0
+    # at 4 tables the probes must add real candidates, not be a no-op
+    assert r1 > r0 or n1 > n0, (r0, r1, n0, n1)
+
+
 def test_embedding_neardup_lsh_recall_vs_bruteforce(spark):
     """The banded near-dup path vs the exact all-pairs tier: measured pair
     recall >= 0.9 at threshold 0.4 with the 4x16 default bands."""
@@ -577,6 +631,27 @@ def test_minhash_lsh_single_signature_pass(spark):
 
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1, plan[:2000]
+
+
+def test_simhash_hamming_single_signature_pass(spark):
+    """Regression guard: the expensive signature fold (explode + per-bit
+    contribution agg) must run exactly ONCE — the candidate self-join
+    reads a materialized (localCheckpoint) signature table, so its plan
+    contains NO text scan at all (the fold already ran) and both join
+    sides are the checkpointed RDD."""
+    from mhealth_spark.pipelines.dedup import (
+        simhash64,
+        simhash_neardup_candidates,
+    )
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    df = simhash_neardup_candidates(simhash64(docs))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("text:string") == 0, plan[:2000]
+    assert "ExistingRDD" in plan, plan[:2000]
 
 
 def test_minhash_fold_matches_naive_construction(spark):

@@ -225,6 +225,84 @@ def test_healthkit_xml_ingest_golden(spark, tmp_path):
     assert str(sl2["local_end"]) == "2023-10-02 01:00:00"
 
 
+def _write_big_export(path, n_records: int, day_offset: int = 0) -> None:
+    """Synthesize a multi-MB HealthKit export with n_records HeartRate
+    Records, written incrementally (never held in memory)."""
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<HealthData>\n')
+        f.write(' <ExportDate value="2023-10-03 10:00:00 -0700"/>\n')
+        for i in range(n_records):
+            mm, ss = (i // 60) % 60, i % 60
+            hh = (i // 3600) % 24
+            ts = f"2023-10-{1 + day_offset:02d} {hh:02d}:{mm:02d}:{ss:02d} -0700"
+            f.write(
+                f' <Record type="HKQuantityTypeIdentifierHeartRate" '
+                f'sourceName="W" unit="count/min" value="{60 + i % 40}" '
+                f'creationDate="{ts}" startDate="{ts}" endDate="{ts}"/>\n'
+            )
+        f.write("</HealthData>\n")
+
+
+def test_healthkit_xml_multi_mb_exports_row_parity(spark, tmp_path):
+    """Two multi-MB exports through the real binaryFile + mapInPandas
+    path: exact row parity (every Record lands exactly once) and correct
+    values, with the chunked flush active (chunk smaller than the file's
+    record count)."""
+    from mhealth_spark import loader
+    from mhealth_spark.loader import load_healthkit_xml
+
+    n1, n2 = 15_000, 12_000
+    _write_big_export(tmp_path / "export_a.xml", n1, day_offset=0)
+    _write_big_export(tmp_path / "export_b.xml", n2, day_offset=10)
+    assert (tmp_path / "export_a.xml").stat().st_size > 2_000_000
+
+    old = loader._XML_CHUNK_ROWS
+    loader._XML_CHUNK_ROWS = 4096  # force multiple flushes per file
+    try:
+        df = load_healthkit_xml(spark, str(tmp_path / "*.xml"))
+        agg = df.groupBy().agg(
+            F.count("*").alias("n"),
+            F.count_distinct("utc_start").alias("n_ts"),
+            F.avg(F.col("value").cast("double")).alias("mean_v"),
+        ).collect()[0]
+    finally:
+        loader._XML_CHUNK_ROWS = old
+    assert agg["n"] == n1 + n2
+    assert agg["n_ts"] == n1 + n2  # distinct timestamps across both days
+    assert abs(agg["mean_v"] - (60 + 19.5)) < 0.2
+
+
+def test_healthkit_xml_streaming_memory_bound(tmp_path):
+    """The per-file parse keeps peak Python memory O(chunk), not O(file):
+    tracemalloc peak while consuming chunked output stays far below the
+    single-chunk (hold-everything) peak on the same 8 MB+ export."""
+    import tracemalloc
+
+    from mhealth_spark.loader import _parse_healthkit_export
+
+    p = tmp_path / "big.xml"
+    _write_big_export(p, 40_000)
+    content = p.read_bytes()
+    assert len(content) > 6_000_000
+
+    def peak(chunk_rows: int) -> tuple[int, int]:
+        tracemalloc.start()
+        total = 0
+        for pdf in _parse_healthkit_export(content, chunk_rows=chunk_rows):
+            total += len(pdf)
+        _, pk = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return pk, total
+
+    pk_chunked, n_chunked = peak(2_000)
+    pk_whole, n_whole = peak(10**9)
+    assert n_chunked == n_whole == 40_000
+    # chunked peak ~ BytesIO copy + one chunk; hold-everything peak adds
+    # the full 40k-row materialization on top
+    assert pk_chunked < pk_whole * 0.6, (pk_chunked, pk_whole)
+    assert pk_chunked < len(content) * 1.6, (pk_chunked, len(content))
+
+
 def test_pack_sequences_greedy_matches_python_reference(spark):
     """First-fit-sequential greedy packing (applyInPandas kernel) vs an
     independent pure-Python walk, plus invariants: packs never exceed the

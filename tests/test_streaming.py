@@ -389,3 +389,41 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
         check_dtype=False,
         atol=1e-9,
     )
+
+
+def test_stream_backfill_features_matches_batch(spark, tmp_path):
+    """stream_backfill_features: streaming requests + static event table
+    must equal the batch backfill twin on every (entity, req_ts) — same
+    strict as-of guard, zero-event requests included."""
+    from mhealth_spark.streaming import stream_backfill_features
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import backfill_features, hourly_requests
+
+    events = spark.read.parquet(
+        materialize_synth_tokens(spark, 600, seed=42)
+    ).select("doc_id", "source", "ts", "n_tok")
+    requests = hourly_requests(events)
+    req_path = str(tmp_path / "reqs")
+    requests.write.parquet(req_path)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(req_path).schema
+    ).parquet(req_path)
+    q = (
+        stream_backfill_features(stream, events)
+        .writeStream.format("memory")
+        .queryName("t_backfill")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_backfill").toPandas()
+
+    batch = backfill_features(events, requests).toPandas()
+    key = ["source", "ts"]
+    cols = key + ["docs_24h", "tokens_24h", "mean_len_24h", "max_len_24h"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    b = batch[cols].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    pd.testing.assert_frame_equal(g, b, check_dtype=False, atol=1e-9)
