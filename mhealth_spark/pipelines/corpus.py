@@ -605,6 +605,7 @@ def build_corpus(
     split_weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fuzzy_verify_threshold: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """End-to-end corpus build — the whole pipeline in one call, in the
     canonical order a pretraining build runs it:
@@ -612,8 +613,9 @@ def build_corpus(
     1. quality filter (Gopher-family rules; ``quality_overrides``)
     2. benchmark decontamination (if ``benchmark`` given)
     3. exact dedup (normalized-text md5, min-id survivor)
-    4. fuzzy dedup (MinHash-LSH candidates → connected components →
-       one survivor per cluster)
+    4. fuzzy dedup (MinHash-LSH candidates → optional exact-Jaccard
+       verify pass at ``fuzzy_verify_threshold`` → connected components
+       → one survivor per cluster)
     5. temperature sampling per source (if ``sample_alpha`` given)
     6. train/val/test hash split (if ``split_weights`` given)
 
@@ -626,6 +628,7 @@ def build_corpus(
     """
     from mhealth_spark.pipelines.dedup import (
         exact_dedup_groups,
+        jaccard_verify_pairs,
         minhash_lsh_candidates,
         neardup_components,
     )
@@ -656,6 +659,12 @@ def build_corpus(
     audit["after_exact_dedup"] = cur.count()
 
     pairs = minhash_lsh_candidates(cur, id_col, text_col)
+    if fuzzy_verify_threshold is not None:
+        # exact-Jaccard verify pass: drop band-collision false positives
+        # before clustering (cost bounded by the candidate set)
+        pairs = jaccard_verify_pairs(
+            cur, pairs, id_col, text_col, threshold=fuzzy_verify_threshold
+        ).select("id_a", "id_b")
     # neardup_components always names its output (doc_id, cluster_id);
     # rename to the caller's id_col so a non-default key works end-to-end
     comp = neardup_components(pairs).withColumnRenamed("doc_id", id_col)

@@ -260,6 +260,64 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard VERIFICATION of candidate pairs — the standard
+    second stage after MinHash-LSH (candidates are probabilistic; the
+    verify pass removes band-collision false positives before clustering).
+
+    Cost is bounded by the CANDIDATE set, never the corpus: shingle sets
+    are computed only for docs appearing in a pair (semi-join pruning),
+    and the intersection join fans out each pair by its doc's shingles —
+    O(|pairs| x doc_len), the verify cost every fuzzy-dedup pipeline
+    pays. Pairs sharing zero shingles survive to the left join with
+    jaccard 0 and are dropped by the threshold. Jaccard is over DISTINCT
+    shingles (``text.shingles_col``), matching ``ngram_jaccard_pairs``'s
+    universe when no DF cap is set."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(ids, id_col, "left_semi")
+    sh = cand_docs.select(
+        F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def _simhash_from_word_hash(
     df: DataFrame,
     id_col: str,
@@ -421,6 +479,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     band_bits: int = 4,
     n_bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
     LSH-banded: candidates are vectors sharing at least one band signature
@@ -436,6 +495,22 @@ def embedding_neardup_pairs(
     band_bits up for true near-dup thresholds (>=0.9) where selectivity
     then becomes exponential. ``embedding_neardup_bruteforce`` is the
     exact all-pairs verification tier.
+
+    SIZING AT SCALE: candidate volume is sum-over-buckets of k², and
+    bucket count per band is 2**band_bits, so band_bits must GROW with
+    the corpus (rule of thumb: 2**band_bits ≳ n/50, i.e. band_bits ≈
+    log2(n) - 5) or uniform buckets alone produce O(n²/2**band_bits)
+    candidates. That is only viable at true near-dup thresholds (>=0.85)
+    where per-band recall stays high — at low thresholds (0.4) the
+    answer ITSELF is Ω(n²) on real embedding distributions (measured:
+    ~5e-4 of random unit-vector pairs at d=64 clear 0.4), so low-
+    threshold all-pairs similarity is a quadratic workload no banding
+    can fix; treat it as search (ANN top-k), not dedup. ``max_bucket``
+    is the skew guard: buckets larger than the cap (degenerate bands —
+    e.g. strongly clustered embeddings, zero vectors) are dropped from
+    candidate generation, trading bounded recall for a hard cost ceiling,
+    the same cap pattern as ``ngram_jaccard_pairs(max_doc_freq)`` and
+    streaming's ``max_bucket_ids``.
     """
     # one pass: per-row norm + all band signatures (cheap, per-row only)
     from mhealth_spark.pipelines.similarity import sign_signature
@@ -474,6 +549,8 @@ def embedding_neardup_pairs(
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     n_ids = F.size(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(

@@ -260,6 +260,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
 
 
+@register(
+    "dedup_minhash_verified",
+    f"""
+    WITH p AS ({_MINHASH_PAIRS_SQL}),
+    d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM d
+           WHERE len(w) > 0),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    i AS (SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+          GROUP BY 1, 2),
+    j AS (SELECT p.id_a, p.id_b,
+                 COALESCE(i.inter, 0)::DOUBLE
+                 / (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS jac
+          FROM p
+          LEFT JOIN i ON i.id_a = p.id_a AND i.id_b = p.id_b
+          JOIN sz sa ON sa.doc_id = p.id_a
+          JOIN sz sb ON sb.doc_id = p.id_b)
+    SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.95
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidates + exact n-gram-Jaccard verify pass (the
+    standard probabilistic-then-exact fuzzy-dedup pipeline): only pairs
+    whose TRUE Jaccard clears the threshold survive to clustering."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(docs, hash_fn="md5")
+    out = dedup.jaccard_verify_pairs(docs, pairs, threshold=0.95)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 @register("dedup_components", _COMPONENTS_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the minhash pair graph (iterative
@@ -340,6 +375,24 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_docs(spark, sf_dir))
 
 
+# the SCALE tier of simhash near-dup: 64-bit signatures, 16-bit blocks →
+# 65536 buckets per block, so candidate volume stays near-linear where
+# the 16-bit oracle tier saturates (16-bit space holds only 65536
+# distinct signatures — at ≥50k docs most docs collide and its
+# hamming<=1 answer is intrinsically quadratic). xxhash64 signatures
+# have no DuckDB twin → rows-only; value-checked by brute-force pair
+# differential in tests/test_domains.py.
+@register("dedup_simhash64_hamming")
+def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.simhash64(_docs(spark, sf_dir))
+    out = dedup.simhash_neardup_candidates(
+        sigs, sig_col="simhash64", sig_bits=64, n_blocks=4, max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @register(
     "dedup_simhash_hamming",
     f"""
@@ -378,6 +431,47 @@ _EMB_BANDS_SQL = " UNION ALL ".join(
     f"SELECT vec_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM embeddings"
     for b in range(16)
 )
+
+
+_EMB_BANDS8_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, {_band_sig_sql(b, band_bits=8)} AS sig "
+    f"FROM embeddings"
+    for b in range(8)
+)
+
+
+@register(
+    "dedup_embedding_cosine_scale",
+    f"""
+    WITH bands AS ({_EMB_BANDS8_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) >= 0.85
+    """,
+)
+def dedup_embedding_cosine_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE near-dup regime (threshold 0.85) with scale-sized banding
+    (8 bands x 8 bits): per-band selectivity is 2^-8 per bucket-universe
+    so candidate volume stays ~linear at 10x-100x corpus growth, while
+    per-band recall at cosine>=0.85 keeps overall recall high (see
+    embedding_neardup_pairs docstring sizing rule + planted-pair recall
+    test). The 0.4-threshold twin above is the oracle-parity tier whose
+    answer is intrinsically quadratic on random unit vectors."""
+    out = dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.85, band_bits=8, n_bands=8
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
 
 
 @register(

@@ -209,6 +209,55 @@ def test_ann_multiprobe_recall_vs_bruteforce(spark):
     assert np.mean(recalls) >= 0.9, f"recall={np.mean(recalls):.3f}"
 
 
+def test_embedding_neardup_scale_banding_planted_pairs(spark):
+    """The scale-regime banding (8x8, threshold 0.85) on PLANTED near-dup
+    pairs over random unit vectors: no false positives (exact refine),
+    recall >= 0.9 on pairs at cosine >= 0.92, and the max_bucket cap
+    drops degenerate buckets without changing surviving pairs here
+    (buckets are uniform on random data)."""
+    import math
+
+    from mhealth_spark.pipelines.dedup import embedding_neardup_pairs
+
+    rs = np.random.RandomState(99)
+    n, d = 1500, 64
+    v = rs.randn(n, d)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    planted = []
+    for i in range(9, n, 10):
+        c = 0.92 + 0.06 * ((i * 37) % 100) / 100.0
+        noise = rs.randn(d)
+        noise -= noise.dot(v[i - 1]) * v[i - 1]
+        noise /= np.linalg.norm(noise)
+        v[i] = c * v[i - 1] + math.sqrt(1 - c * c) * noise
+        planted.append((i - 1, i))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_neardup_pairs(
+        emb, threshold=0.85, band_bits=8, n_bands=8
+    ).toPandas()
+    got_pairs = set(zip(got.id_a, got.id_b))
+    # float32 storage: recompute truth on the stored precision
+    vf = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    vf /= np.linalg.norm(vf, axis=1, keepdims=True)
+    true_pairs = {
+        (a, b) for a, b in planted if vf[a].dot(vf[b]) >= 0.85
+    }
+    for a, b in got_pairs:
+        assert vf[a].dot(vf[b]) >= 0.85 - 1e-9
+    recall = len(got_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"recall={recall:.3f} over {len(true_pairs)} planted"
+
+    capped = embedding_neardup_pairs(
+        emb, threshold=0.85, band_bits=8, n_bands=8, max_bucket=50
+    ).toPandas()
+    assert set(zip(capped.id_a, capped.id_b)) == got_pairs
+
+
 def test_exact_dedup_xxh_tier_matches_md5_tier(spark):
     """The xxhash64 scale tier must induce the SAME dedup structure as the
     md5 oracle tier: identical (group_size, keep_id) per doc."""
@@ -328,6 +377,33 @@ def test_simhash_hamming_candidates_recall_guarantee(spark):
             a, b = sorted([vals[i], vals[j]], key=lambda t: t[0])
             if bin(int(a[1]) ^ int(b[1])).count("1") <= 3:
                 want.add((a[0], b[0], bin(int(a[1]) ^ int(b[1])).count("1")))
+    assert set(zip(got.id_a, got.id_b, got.hamming)) == want
+
+
+def test_simhash64_hamming_scale_tier_matches_bruteforce(spark):
+    """The 64-bit scale tier (driver query dedup_simhash64_hamming) vs an
+    exhaustive pandas pair scan: exact pair-set equality (pigeonhole
+    guarantees full recall at hamming<=3 with 4 blocks)."""
+    from mhealth_spark.pipelines.dedup import (
+        simhash64,
+        simhash_neardup_candidates,
+    )
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    sigs = simhash64(docs).cache()
+    got = simhash_neardup_candidates(
+        sigs, sig_col="simhash64", sig_bits=64, n_blocks=4, max_hamming=3
+    ).toPandas()
+    pdf = sigs.toPandas()
+    vals = list(zip(pdf.doc_id, pdf.simhash64))
+    want = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = sorted([vals[i], vals[j]], key=lambda t: t[0])
+            h = bin((int(a[1]) ^ int(b[1])) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want.add((a[0], b[0], h))
     assert set(zip(got.id_a, got.id_b, got.hamming)) == want
 
 
@@ -779,3 +855,90 @@ def test_build_corpus_end_to_end(spark):
     )
     assert audit2 == audit
     assert set(out2.toPandas()["doc_id"]) == set(pdf["doc_id"])
+
+
+def test_jaccard_verify_pairs_properties(spark):
+    """The exact-Jaccard verify pass: (a) output is a subset of the
+    candidate pairs, (b) at threshold 0 every candidate survives with a
+    jaccard in [0, 1], (c) thresholds are monotone, and (d) each
+    surviving pair's jaccard equals a pandas set-Jaccard recomputation."""
+    from mhealth_spark.pipelines.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    pairs = minhash_lsh_candidates(docs, hash_fn="md5")
+    all_pairs = set(map(tuple, pairs.toPandas()[["id_a", "id_b"]].values))
+
+    v0 = jaccard_verify_pairs(docs, pairs, threshold=0.0).toPandas()
+    assert set(map(tuple, v0[["id_a", "id_b"]].values)) == all_pairs
+    assert ((v0.jaccard >= 0) & (v0.jaccard <= 1)).all()
+
+    v4 = jaccard_verify_pairs(docs, pairs, threshold=0.95).toPandas()
+    assert len(v4) < len(v0)
+    assert set(map(tuple, v4[["id_a", "id_b"]].values)) == set(
+        map(tuple, v0[v0.jaccard >= 0.95][["id_a", "id_b"]].values)
+    )
+
+    texts = dict(docs.select("doc_id", "text").toPandas().values)
+
+    def sets_jac(a, b):
+        def sh(t):
+            w = [x for x in t.split() if x]
+            return {
+                " ".join(w[i : i + 5]) for i in range(max(len(w) - 4, 1))
+            } if w else set()
+
+        sa, sb = sh(texts[a]), sh(texts[b])
+        return len(sa & sb) / len(sa | sb)
+
+    for r in v4.itertuples():
+        assert abs(sets_jac(r.id_a, r.id_b) - r.jaccard) < 1e-9
+
+
+def test_build_corpus_non_default_id_col(spark):
+    """Regression (ADVICE r2): build_corpus must work end-to-end with a
+    renamed id column — the fuzzy-dedup component frame is renamed to the
+    caller's id_col — and produce the identical document set."""
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    default, audit_a = build_corpus(docs)
+    renamed, audit_b = build_corpus(
+        docs.withColumnRenamed("doc_id", "item_id"), id_col="item_id"
+    )
+    assert audit_a == audit_b
+    assert set(renamed.toPandas()["item_id"]) == set(
+        default.toPandas()["doc_id"]
+    )
+
+
+def test_build_corpus_verify_threshold_keeps_more_docs(spark):
+    """The exact-Jaccard verify stage can only REMOVE candidate pairs, so
+    clusters shrink and more documents survive fuzzy dedup."""
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    plain, audit_plain = build_corpus(docs)
+    verified, audit_ver = build_corpus(docs, fuzzy_verify_threshold=0.4)
+    assert audit_ver["after_fuzzy_dedup"] >= audit_plain["after_fuzzy_dedup"]
+    assert set(plain.toPandas()["doc_id"]) <= set(
+        verified.toPandas()["doc_id"]
+    )
+
+
+def test_build_corpus_sampling_requires_source(spark):
+    """Temperature sampling without a source column fails fast with a
+    clear error instead of a deep AnalysisException."""
+    import pytest
+
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001).drop("source")
+    with pytest.raises(ValueError, match="source"):
+        build_corpus(docs, sample_alpha=0.5)

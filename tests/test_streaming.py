@@ -427,3 +427,45 @@ def test_stream_backfill_features_matches_batch(spark, tmp_path):
     b = batch[cols].sort_values(key).reset_index(drop=True)
     assert len(g) == len(b) > 0
     pd.testing.assert_frame_equal(g, b, check_dtype=False, atol=1e-9)
+
+
+def test_stream_backfill_features_append_mode_watermark(spark, tmp_path):
+    """Production face: append output with a watermark — emitted requests
+    (those the final watermark passed) must match the batch twin exactly;
+    nothing beyond the watermark is emitted wrong, only withheld."""
+    from mhealth_spark.streaming import stream_backfill_features
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import backfill_features, hourly_requests
+
+    events = spark.read.parquet(
+        materialize_synth_tokens(spark, 400, seed=42)
+    ).select("doc_id", "source", "ts", "n_tok")
+    requests = hourly_requests(events)
+    req_path = str(tmp_path / "reqs_a")
+    requests.write.parquet(req_path)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(req_path).schema
+    ).parquet(req_path)
+    q = (
+        stream_backfill_features(stream, events, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("t_backfill_app")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_backfill_app").toPandas()
+
+    batch = backfill_features(events, requests).toPandas()
+    key = ["source", "ts"]
+    cols = key + ["docs_24h", "tokens_24h", "mean_len_24h", "max_len_24h"]
+    b = batch[cols].set_index(key)
+    g = got[cols].set_index(key)
+    # append emits only watermark-finalized groups: subset, never wrong
+    assert 0 < len(g) <= len(b)
+    joined = g.join(b, how="left", rsuffix="_b")
+    for c in ["docs_24h", "tokens_24h", "mean_len_24h", "max_len_24h"]:
+        lhs, rhs = joined[c], joined[f"{c}_b"]
+        assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all(), c
