@@ -99,6 +99,10 @@ def pack_sequences_greedy(
         pdf = pdf.sort_values([ts_col, "doc_id"], kind="mergesort")
         n = pdf["n_tok"].to_numpy(dtype=np.int64)
         m = len(n)
+        if m == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in _GREEDY_SCHEMA}
+            )
         # Inclusive cumsum; a pack starting at row s ends at the largest e
         # with cum[e] - prefix(s) <= budget (>= s itself: oversized docs
         # get their own pack). Loop advances one PACK per iteration via
