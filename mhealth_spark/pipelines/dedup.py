@@ -480,6 +480,7 @@ def embedding_neardup_pairs(
     band_bits: int = 4,
     n_bands: int = 16,
     max_bucket: int | None = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
     LSH-banded: candidates are vectors sharing at least one band signature
@@ -561,10 +562,22 @@ def embedding_neardup_pairs(
             ),
         )
     )
-    cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    # broadcast_vectors=True (default): NO distinct on raw candidates — a
+    # pair colliding in k bands appears k times, but duplication is small
+    # for NON-matching pairs (they rarely collide twice) and those are
+    # ~all the volume. A global distinct would shuffle every raw
+    # candidate (measured at sf1/20k vecs: 200M rows, 217 s — 2/3 of the
+    # whole query); instead refine duplicates through map-side BROADCAST
+    # joins of the projected vector table (id + doubles + norm — tiny
+    # relative to candidates) and dedup AFTER the threshold filter, where
+    # only true matches remain (output-sized: bounded by n_bands ×
+    # |answer|). The broadcast hint is EXPLICIT because Catalyst cannot
+    # size the exploded candidate side and would otherwise broadcast IT.
+    # broadcast_vectors=False is the huge-vector-table fallback (vectors
+    # exceed the executor broadcast budget): distinct the candidates
+    # first, then let the planner shuffle both sides.
+    cand = grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b")
     )
     va = v.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -572,18 +585,25 @@ def embedding_neardup_pairs(
     vb = v.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        cand = cand.distinct()
     # exact refine: ONE fold per candidate pair (norms precomputed per row;
     # sequential accumulation = DuckDB list_cosine_similarity parity)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if broadcast_vectors:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def embedding_neardup_bruteforce(
