@@ -576,6 +576,17 @@ def embedding_neardup_pairs(
     # broadcast_vectors=False is the huge-vector-table fallback (vectors
     # exceed the executor broadcast budget): distinct the candidates
     # first, then let the planner shuffle both sides.
+    #
+    # CRITICAL without the distinct: the post-groupBy frame is tiny (one
+    # row per (band, sig) bucket carrying a collected-id array), so AQE
+    # coalesces it to ~1 partition — and the explode + refine joins +
+    # cosine filter all FUSE into that single task (measured: 4.9 s →
+    # 19.6 s at sf0.1, timeout at sf1). Round-robin repartition of the
+    # GROUP ROWS (KBs per row) restores explode/refine parallelism for
+    # the cost of shuffling one array per bucket, not one row per pair.
+    if broadcast_vectors:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        grouped = grouped.repartition(4 * par)
     cand = grouped.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.id_a"), F.col("p.id_b")
     )
