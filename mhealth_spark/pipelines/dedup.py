@@ -753,3 +753,99 @@ def exact_dedup_prefix_groups(
         F.count("*").alias("group_size"), F.min(id_col).alias("keep_id")
     )
     return fp.join(groups, "fp").select(id_col, "group_size", "keep_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better": substring-level duplication is what
+# survives document-level dedup). Suffix arrays don't distribute; the
+# Spark-native equivalent is fixed-length span hashing: every length-`span`
+# word window is hashed, a span is "duplicated" when it occurs in >=
+# `min_docs` DISTINCT documents, and each document is scored by the
+# fraction of its spans that are duplicated elsewhere.
+# ---------------------------------------------------------------------------
+def span_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 12,
+) -> DataFrame:
+    """One row per (doc, position) word window: (id, pos, h) with
+    h = md5 of the space-joined span (md5 for DuckDB oracle parity; at
+    100 TB swap the hash expression for xxhash64 — the plan is identical).
+
+    Span strings come from the shifted-slice builder (text._gram_strings):
+    n column-level slice+zip_with ops per DOCUMENT instead of one slice
+    per POSITION, the Catalyst-friendly form every shingle consumer here
+    uses. Documents shorter than `span` words contribute their single
+    whole-document gram (the _gram_strings boundary), so short exact
+    dupes are still caught. `pos` is 0-based."""
+    from mhealth_spark.pipelines.text import _gram_strings
+
+    grams = _gram_strings(words_col(text_col), span)
+    return (
+        df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .filter(F.col("gram") != F.lit(""))
+        .select(id_col, "pos", F.md5("gram").alias("h"))
+    )
+
+
+def span_duplicate_hashes(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Hashes occurring in >= min_docs distinct documents: (h, n_docs).
+
+    SCALE SHAPE: groupBy(h).agg(count_distinct(id)) is Spark's two-phase
+    distinct aggregate — it shuffles (h, id) pairs and never materializes
+    a per-hash list, so a boilerplate span shared by millions of documents
+    costs a counter, not an OOM (the collect_list alternative skews on
+    exactly the spans this operator exists to find). Shuffling every
+    span hash once is the algorithm's lower bound — the same bound the
+    sort of a suffix array pays."""
+    return (
+        spans.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 12,
+    min_docs: int = 2,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span exposure: (id, n_spans, n_dup_spans,
+    dup_frac). The standard pretraining filter drops (or trims) documents
+    whose dup_frac exceeds a threshold; repetition_stats is the WITHIN-doc
+    twin, this is the CROSS-doc one.
+
+    Two corpus scans, one bounded shuffle: scan 1 aggregates span hashes
+    to the duplicated-hash set (output-sized: only hashes seen in >=
+    min_docs docs survive); scan 2 re-derives spans map-side and marks
+    hits with a BROADCAST semi-join against that set, then folds to
+    per-doc counts in the same shuffle as the final groupBy. With
+    broadcast_dups=False the hit-marking join falls back to a shuffled
+    join for corpora whose duplicated-span set exceeds the broadcast
+    budget (heavily templated crawls)."""
+    spans = span_hashes(df, id_col, text_col, span)
+    dups = span_duplicate_hashes(spans, id_col, min_docs).select("h")
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    hits = spans.join(dups, "h", "left_semi")
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dup_counts = hits.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
+    return (
+        per_doc.join(dup_counts, id_col, "left")
+        .fillna(0, subset=["n_dup_spans"])
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
+        )
+    )

@@ -189,6 +189,42 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_exact",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(w[gs.i:gs.i+11], ' ')) AS h
+      FROM words,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 11, 1)))
+                    AS i) gs
+      WHERE len(w) > 0),
+    dups AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    hits AS (SELECT s.doc_id, count(*) AS n_dup_spans
+             FROM spans s JOIN dups USING (h) GROUP BY s.doc_id)
+    SELECT p.doc_id, CAST(p.n_spans AS BIGINT) AS n_spans,
+           CAST(coalesce(ht.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           round(CAST(coalesce(ht.n_dup_spans, 0) AS DOUBLE) / p.n_spans, 6)
+             AS dup_frac
+    FROM per_doc p LEFT JOIN hits ht USING (doc_id)
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact span dedup (Lee et al. 2021 substring-level
+    duplication, fixed-length-window form): per doc, the fraction of its
+    12-word spans that occur in >=2 distinct documents. The within-doc
+    twin is text_repetition; survivors of document-level dedup with high
+    dup_frac here are the template/boilerplate tail."""
+    out = dedup.span_dedup_stats(_docs(spark, sf_dir), span=12, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),

@@ -942,3 +942,42 @@ def test_build_corpus_sampling_requires_source(spark):
     docs = read_table(spark, "documents", SF001).drop("source")
     with pytest.raises(ValueError, match="source"):
         build_corpus(docs, sample_alpha=0.5)
+
+
+def test_span_dedup_crafted_and_fallback_parity(spark):
+    """Crafted corpus: two docs share a 12-word block, a third is unique,
+    a fourth is shorter than the span (whole-doc gram) and duplicated.
+    Checks exact per-doc counts and that the shuffled-join fallback
+    (broadcast_dups=False) returns the identical frame."""
+    from mhealth_spark.pipelines.dedup import span_dedup_stats
+
+    block = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, block + " alpha beta gamma"),   # spans: 4, block at pos 0 dup
+        (2, "x y z " + block),              # spans: 4, block at pos 3 dup
+        (3, " ".join(f"u{i}" for i in range(15))),  # 4 spans, none dup
+        (4, "short doc"),                   # 1 whole-doc gram, dup w/ 5
+        (5, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(docs, span=12, min_docs=2).collect()
+    }
+    # doc 1: 15 words -> 4 spans; exactly ONE (the block, pos 0) also in doc 2
+    assert (got[1]["n_spans"], got[1]["n_dup_spans"]) == (4, 1)
+    assert (got[2]["n_spans"], got[2]["n_dup_spans"]) == (4, 1)
+    assert (got[3]["n_spans"], got[3]["n_dup_spans"]) == (4, 0)
+    assert (got[4]["n_spans"], got[4]["n_dup_spans"]) == (1, 1)
+    assert (got[5]["n_spans"], got[5]["n_dup_spans"]) == (1, 1)
+    assert abs(got[1]["dup_frac"] - 0.25) < 1e-12
+
+    fb = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(
+            docs, span=12, min_docs=2, broadcast_dups=False
+        ).collect()
+    }
+    assert {k: (v["n_spans"], v["n_dup_spans"]) for k, v in got.items()} == {
+        k: (v["n_spans"], v["n_dup_spans"]) for k, v in fb.items()
+    }
