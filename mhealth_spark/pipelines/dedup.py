@@ -849,3 +849,121 @@ def span_dedup_stats(
             (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
         )
     )
+
+
+def span_dedup_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 12,
+    min_docs: int = 2,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """The actionable form of span dedup: per document, the sorted 0-based
+    word positions opening a duplicated span — (id, dup_positions,
+    n_dup_spans). Lee et al. REMOVE duplicated substrings rather than drop
+    documents; a trimming pass expands each position p to words
+    [p, p+span) and cuts the union. Same two-phase shape as
+    span_dedup_stats; the collect_list here groups by DOCUMENT (bounded
+    by doc length), never by hash (unbounded), so the boilerplate-span
+    skew cannot recreate the OOM the stats pass avoids."""
+    spans = span_hashes(df, id_col, text_col, span)
+    dups = span_duplicate_hashes(spans, id_col, min_docs).select("h")
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    return (
+        spans.join(dups, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("dup_positions"))
+        .select(
+            id_col,
+            "dup_positions",
+            F.size("dup_positions").alias("n_dup_spans"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup: dedup a NEW ingest batch against an already-
+# indexed corpus without recomputing (or reshuffling) the corpus. The
+# persistable artifact is the band-bucket table; probing is a bucket-key
+# equi-join with the small side broadcast, so daily-ingest cost is
+# proportional to the BATCH, not the 100 TB corpus behind the index.
+# ---------------------------------------------------------------------------
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 5,
+    hash_fn: str = "xxh",
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) rows, exactly the
+    frame ``minhash_lsh_candidates`` derives internally. At scale, write
+    it bucketed/partitioned by (band, bucket) so incremental probes read
+    only the touched buckets (partition pruning on the probe keys) and
+    the candidate join is co-located with zero index-side shuffle."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    return band_buckets(sig, num_hashes, band_size, id_col)
+
+
+def minhash_lsh_candidates_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 5,
+    hash_fn: str = "xxh",
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Candidate pairs introduced by a new ingest batch: new-vs-indexed
+    plus new-vs-new, as (id_a < id_b) — the same pair set the full-batch
+    ``minhash_lsh_candidates`` would emit restricted to pairs touching
+    the batch (asserted by the split-parity pytest).
+
+    Scale shape: the batch's band buckets BROADCAST into the probe join
+    against the index (broadcast_new=False falls back to a shuffled
+    equi-join on (band, bucket) for jumbo backfill batches), so the
+    index is scanned once and never shuffled; in-batch pairs reuse the
+    groupBy-bucket expansion. The batch bucket frame feeds both paths —
+    recomputing its signature fold twice costs batch-sized work, which
+    incremental ingest treats as negligible by definition."""
+    nb = minhash_index(
+        new_docs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
+    )
+    probe = F.broadcast(nb) if broadcast_new else nb
+    old = index.select(
+        F.col(id_col).alias("_old_id"), "band", "bucket"
+    )
+    cross = (
+        old.join(probe.withColumnRenamed(id_col, "_new_id"), ["band", "bucket"])
+        .filter(F.col("_old_id") != F.col("_new_id"))
+        .select(
+            F.least("_old_id", "_new_id").alias("id_a"),
+            F.greatest("_old_id", "_new_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    grouped = (
+        nb.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    within = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    return cross.union(within).distinct()

@@ -225,6 +225,32 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_mask",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    spans AS (
+      SELECT doc_id, gs.i - 1 AS pos,
+             md5(array_to_string(w[gs.i:gs.i+11], ' ')) AS h
+      FROM words,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 11, 1)))
+                    AS i) gs
+      WHERE len(w) > 0),
+    dups AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id,
+           list_sort(list(s.pos)) AS dup_positions,
+           CAST(count(*) AS INT) AS n_dup_spans
+    FROM spans s JOIN dups USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-mask form of span dedup: per doc, the sorted word positions
+    opening a span that also occurs in another document (expand each to
+    [p, p+12) and cut the union to de-duplicate substrings in place)."""
+    return dedup.span_dedup_mask(_docs(spark, sf_dir), span=12, min_docs=2)
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -294,6 +320,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 tier pinned here for byte-identical DuckDB parity; the engine
     # default (and the bench scale path) is hash_fn="xxh".
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), hash_fn="md5")
+
+
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL})
+    WHERE id_a >= 400 OR id_b >= 400
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with id < 400 are the already-
+    indexed corpus (minhash_index — the persistable (id, band, bucket)
+    artifact), docs >= 400 are the new batch. The probe broadcasts the
+    BATCH's buckets into one index scan (no index shuffle), so ingest
+    cost is batch-proportional; the emitted pair set equals the full-
+    batch LSH pairs restricted to pairs touching the batch (that
+    restriction IS the oracle)."""
+    docs = _docs(spark, sf_dir)
+    idx = dedup.minhash_index(docs.filter("doc_id < 400"), hash_fn="md5")
+    return dedup.minhash_lsh_candidates_incremental(
+        docs.filter("doc_id >= 400"), idx, hash_fn="md5"
+    )
 
 
 @register(

@@ -981,3 +981,44 @@ def test_span_dedup_crafted_and_fallback_parity(spark):
     assert {k: (v["n_spans"], v["n_dup_spans"]) for k, v in got.items()} == {
         k: (v["n_spans"], v["n_dup_spans"]) for k, v in fb.items()
     }
+
+    from mhealth_spark.pipelines.dedup import span_dedup_mask
+
+    mask = {
+        r["doc_id"]: r["dup_positions"]
+        for r in span_dedup_mask(docs, span=12, min_docs=2).collect()
+    }
+    assert mask == {1: [0], 2: [3], 4: [0], 5: [0]}  # doc 3 has no dups
+
+
+def test_incremental_minhash_split_parity(spark):
+    """Full-batch LSH pairs == pairs(old half) ∪ incremental(new half vs
+    index(old half)), on the xxh production tier — the incremental probe
+    loses nothing and invents nothing. Also checks the shuffled-probe
+    fallback agrees with the broadcast path."""
+    from mhealth_spark.pipelines.dedup import (
+        minhash_index,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old, new = docs.filter("doc_id < 250"), docs.filter("doc_id >= 250")
+
+    full = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()}
+    old_pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(old).collect()}
+    idx = minhash_index(old)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates_incremental(new, idx).collect()
+    }
+    assert old_pairs | inc == full
+    assert all(a >= 250 or b >= 250 for a, b in inc)
+
+    inc_shuffled = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates_incremental(
+            new, idx, broadcast_new=False
+        ).collect()
+    }
+    assert inc_shuffled == inc
