@@ -1022,3 +1022,37 @@ def test_incremental_minhash_split_parity(spark):
         ).collect()
     }
     assert inc_shuffled == inc
+
+
+def test_incremental_probe_broadcasts_batch_not_index(spark):
+    """Scale-posture plan assertion for the incremental dedup probe: the
+    new batch's buckets are what broadcasts; the candidate join is a
+    BroadcastHashJoin whose build side is the batch, so the index scan
+    reaches the join with NO index-side Exchange."""
+    from mhealth_spark.pipelines.dedup import (
+        minhash_index,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    idx = minhash_index(docs.filter("doc_id < 250"))
+    out = minhash_lsh_candidates_incremental(docs.filter("doc_id >= 250"), idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Exchanges allowed are the in-batch expansion's groupBy,
+    # the final distinct, and broadcast distribution — never a hash
+    # repartition of the index side. The index feeds the probe join
+    # straight from its scan: strip the broadcast-build subtree (the
+    # batch) and assert the remaining probe side is exchange-free by
+    # checking no ShuffleExchange appears between the scan and the BHJ.
+    import re
+
+    bhj_pos = plan.find("BroadcastHashJoin")
+    probe_section = plan[bhj_pos:]
+    first_agg = probe_section.find("HashAggregate")
+    probe_join_subtree = (
+        probe_section[:first_agg] if first_agg != -1 else probe_section
+    )
+    assert not re.search(
+        r"Exchange hashpartitioning", probe_join_subtree
+    ), probe_join_subtree
