@@ -610,6 +610,7 @@ def build_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     fuzzy_verify_threshold: float | None = None,
+    span_dup_threshold: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """End-to-end corpus build — the whole pipeline in one call, in the
     canonical order a pretraining build runs it:
@@ -620,8 +621,12 @@ def build_corpus(
     4. fuzzy dedup (MinHash-LSH candidates → optional exact-Jaccard
        verify pass at ``fuzzy_verify_threshold`` → connected components
        → one survivor per cluster)
-    5. temperature sampling per source (if ``sample_alpha`` given)
-    6. train/val/test hash split (if ``split_weights`` given)
+    5. span dedup (if ``span_dup_threshold`` given): drop survivors
+       whose cross-document duplicated-span fraction still exceeds the
+       threshold — the boilerplate/template tail that document-level
+       dedup keeps (each survivor IS unique as a whole document)
+    6. temperature sampling per source (if ``sample_alpha`` given)
+    7. train/val/test hash split (if ``split_weights`` given)
 
     Returns (final DataFrame, audit dict of per-stage surviving counts).
     The audit counts run one action per stage — acceptable for a batch
@@ -675,6 +680,16 @@ def build_corpus(
     drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     cur = cur.join(drop, id_col, "left_anti")
     audit["after_fuzzy_dedup"] = cur.count()
+
+    if span_dup_threshold is not None:
+        from mhealth_spark.pipelines.dedup import span_dedup_stats
+
+        stats = span_dedup_stats(cur, id_col, text_col)
+        heavy = stats.filter(
+            F.col("dup_frac") > span_dup_threshold
+        ).select(id_col)
+        cur = cur.join(heavy, id_col, "left_anti")
+        audit["after_span_dedup"] = cur.count()
 
     if sample_alpha is not None:
         rates = temperature_rates(

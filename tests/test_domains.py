@@ -1056,3 +1056,31 @@ def test_incremental_probe_broadcasts_batch_not_index(spark):
     assert not re.search(
         r"Exchange hashpartitioning", probe_join_subtree
     ), probe_join_subtree
+
+
+def test_build_corpus_span_dedup_stage_drops_template_tail(spark):
+    """span_dup_threshold drops surviving docs whose cross-doc duplicated-
+    span fraction exceeds the threshold; threshold=1.0 drops nothing
+    (dup_frac can never exceed 1) and the audit records the stage."""
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.pipelines.dedup import span_dedup_stats
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    base, audit_base = build_corpus(docs)
+    trimmed, audit = build_corpus(docs, span_dup_threshold=0.2)
+    assert "after_span_dedup" in audit
+    assert audit["after_span_dedup"] <= audit["after_fuzzy_dedup"]
+    base_ids = set(base.toPandas()["doc_id"])
+    kept_ids = set(trimmed.toPandas()["doc_id"])
+    assert kept_ids <= base_ids
+    # exactly the heavy-dup survivors were removed
+    survivors = docs.join(base.select("doc_id"), "doc_id", "left_semi")
+    heavy = {
+        r["doc_id"]
+        for r in span_dedup_stats(survivors).filter("dup_frac > 0.2").collect()
+    }
+    assert base_ids - kept_ids == heavy
+
+    noop, audit_noop = build_corpus(docs, span_dup_threshold=1.0)
+    assert audit_noop["after_span_dedup"] == audit_noop["after_fuzzy_dedup"]
