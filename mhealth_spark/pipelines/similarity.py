@@ -300,6 +300,30 @@ def ann_ivf_oneshot(
     expectation under the hash seeding."""
     centroids = pick_centroids(corpus, n_centroids, id_col, vec_col, salt)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return ann_ivf_probe(
+        assigned, centroids, queries, k, n_probe, id_col, query_id_col
+    )
+
+
+def ann_ivf_probe(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an EXISTING inverted file: ``assigned`` is the persistable
+    (id, v, cid) index — at scale written partitioned by cid so a probe
+    batch's selective cid set reaches the scan as a partition filter
+    (dynamic partition pruning when the probe side broadcasts), reading
+    n_probe/n_centroids of the index from disk instead of all of it.
+    ``ann_ivf_oneshot`` is exactly build-then-probe; serving/ingest
+    splits the two so query batches never re-assign the corpus. The
+    vectors in ``assigned.v`` are doubles (ivf_assign casts once at
+    build time). Queries arrive with ``vec_col`` in any numeric type."""
     q = queries.select(
         F.col(query_id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),

@@ -1354,9 +1354,9 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_filter(_docs(spark, sf_dir))
 
 
-@register(
-    "ann_ivf_oneshot",
-    """
+# Shared by ann_ivf_oneshot and ann_ivf_probe: the probe over a
+# persisted index returns exactly the fused build-then-probe result.
+_ANN_IVF_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       substring(md5(vec_id::VARCHAR || '#ivf0'), 1, 8) AS hx
                FROM embeddings),
@@ -1389,8 +1389,10 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_ivf_oneshot", _ANN_IVF_SQL)
 def ann_ivf_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic hash-picked coarse centroids, map-only
     inverted-list assignment (centroids as codegen literals), n_probe=4
@@ -1402,6 +1404,40 @@ def ann_ivf_oneshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ann_ivf_oneshot(
         emb, queries, k=5, n_centroids=16, n_probe=4
     )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register("ann_ivf_probe", _ANN_IVF_SQL)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving split: the inverted file (vec_id, v, cid) is WRITTEN
+    partitioned by cid and probed from disk — the probe batch's
+    selective cid set reaches the index scan as a dynamic partition
+    filter, so a query batch reads n_probe/n_centroids of the index
+    instead of re-assigning the corpus (plan-asserted in
+    tests/test_domains.py::test_ivf_persisted_index_probe_matches_oneshot).
+    Same oracle as ann_ivf_oneshot: probe-of-persisted == fused."""
+    import hashlib
+    import os
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity.pick_centroids(emb, 16)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/mhealth_spark_ivf_index_{tag}"
+    # deterministic rebuild per sf_dir; tiny at oracle scale, and at 100 TB
+    # this write happens once at ingest, not per query batch
+    similarity.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    out = similarity.ann_ivf_probe(index, cents, queries, k=5, n_probe=4)
     return out.select(
         "query_id",
         "neighbor_id",

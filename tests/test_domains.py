@@ -1084,3 +1084,41 @@ def test_build_corpus_span_dedup_stage_drops_template_tail(spark):
 
     noop, audit_noop = build_corpus(docs, span_dup_threshold=1.0)
     assert audit_noop["after_span_dedup"] == audit_noop["after_fuzzy_dedup"]
+
+
+def test_ivf_persisted_index_probe_matches_oneshot(spark, tmp_path):
+    """Serving split: ivf_assign written partitioned by cid, read back,
+    probed with ann_ivf_probe — identical results to the fused
+    ann_ivf_oneshot, and the probed scan carries a cid partition filter
+    (dynamic partition pruning from the selective probe side)."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivf_oneshot,
+        ann_ivf_probe,
+        ivf_assign,
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fused = ann_ivf_oneshot(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+    cents = pick_centroids(emb, 16)
+    path = str(tmp_path / "ivf_index")
+    ivf_assign(emb, cents).write.partitionBy("cid").parquet(path)
+    index = spark.read.parquet(path)
+    probed = ann_ivf_probe(index, cents, queries, k=5, n_probe=4)
+
+    key = ["query_id", "neighbor_id", "rank"]
+    a = fused.toPandas().sort_values(key).reset_index(drop=True)
+    b = probed.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(
+        a["cosine"].to_numpy(), b["cosine"].to_numpy(), rtol=1e-9
+    )
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe's selective cid set must reach the index scan as a
+    # DYNAMIC partition filter — only probed inverted lists are read
+    assert "dynamicpruningexpression(cid" in plan, plan
