@@ -967,3 +967,141 @@ def minhash_lsh_candidates_incremental(
         .select(F.col("p.id_a"), F.col("p.id_b"))
     )
     return cross.union(within).distinct()
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "sem0",
+) -> DataFrame:
+    """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
+    semantic duplicates are pairs that land in the SAME coarse embedding
+    cluster AND have cosine >= threshold. Clustering makes the workload
+    tractable — pairwise cosine is only ever computed within a cluster,
+    so cost is sum-over-clusters of k², never global n².
+
+    Clusters are the deterministic one-shot hash-seeded quantizer shared
+    with the IVF index (similarity.pick_centroids / ivf_assign): a
+    map-only assignment with centroid literals, no shuffle. At scale
+    n_clusters GROWS with the corpus (SemDeDup uses ~n/1000 clusters) so
+    per-cluster lists stay bounded; here the cid join key is COARSE, so
+    pair generation uses a self-join (AQE-skew-splittable, stays
+    distributed) rather than the groupBy-bucket expansion used for
+    fine-grained minhash buckets — same reasoning as
+    ``simhash_neardup_candidates``. The narrow (id, cid, ccos) assignment
+    is localCheckpoint-materialized ONCE (the argmax-over-centroids map is
+    the expensive part; 16 B/row), and vectors rejoin via broadcast for
+    the exact refine, exactly the ``embedding_neardup_pairs`` shape.
+
+    Returns (id_a, id_b, cid, cosine) with id_a < id_b.
+    """
+    from mhealth_spark.pipelines.similarity import pick_centroids, ivf_assign
+
+    cents = pick_centroids(emb, n_clusters, id_col, vec_col, salt)
+    assigned = (
+        ivf_assign(emb, cents, id_col, vec_col)
+        .select(F.col(id_col).alias("id"), "cid")
+        .localCheckpoint(eager=True)
+    )
+    return _semantic_pairs_from(assigned, emb, threshold, id_col, vec_col)
+
+
+def _semantic_pairs_from(
+    assigned: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Within-cluster pair expansion + broadcast exact-cosine refine over a
+    materialized narrow (id, cid) assignment."""
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.cid").alias("cid"),
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
+    )
+    va = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    return (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.round("cosine", 9) >= threshold)
+        .select("id_a", "id_b", "cid", "cosine")
+    )
+
+
+def semantic_keep(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "sem0",
+) -> DataFrame:
+    """Full SemDeDup keep/drop decision per vector: semantic-duplicate
+    pairs (``semantic_pairs``) are closed into groups (connected
+    components — duplicate groups never span coarse clusters since pairs
+    are intra-cluster by construction) and each group keeps exactly ONE
+    member: the one FARTHEST from its cluster centroid (lowest ``ccos``),
+    the paper's low-centroid-similarity retention rule — extreme points
+    carry the most signal; ties break toward the lower id. Docs in no
+    pair keep themselves.
+
+    Returns one row per input vector: (id, cid, ccos, group_id, keep) —
+    ``group_id`` is the min member id of the semantic-duplicate group
+    (the vector's own id for singletons)."""
+    from mhealth_spark.pipelines.similarity import pick_centroids, ivf_assign
+
+    cents = pick_centroids(emb, n_clusters, id_col, vec_col, salt)
+    # ONE assignment pass, materialized narrow (24 B/row): feeds both the
+    # pair stage and the keep rule — the argmax-over-centroids map never
+    # recomputes
+    assigned = (
+        ivf_assign(emb, cents, id_col, vec_col, with_score=True)
+        .select(F.col(id_col).alias("id"), "cid", "ccos")
+        .localCheckpoint(eager=True)
+    )
+    pairs = _semantic_pairs_from(
+        assigned.select("id", "cid"), emb, threshold, id_col, vec_col
+    )
+    comp = neardup_components(pairs)  # (doc_id, cluster_id)
+    labeled = assigned.join(
+        F.broadcast(comp.select(F.col("doc_id").alias("id"), "cluster_id")),
+        "id",
+        "left",
+    ).withColumn("group_id", F.coalesce("cluster_id", F.col("id")))
+    # winner per duplicate group: lowest centroid affinity, then lowest id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("ccos").asc(), F.col("id").asc()
+    )
+    return (
+        labeled.withColumn("keep", F.row_number().over(w) == 1)
+        .select("id", "cid", "ccos", "group_id", "keep")
+    )

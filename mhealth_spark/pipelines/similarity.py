@@ -257,9 +257,12 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_score: bool = False,
 ) -> DataFrame:
     """Map-only inverted-file assignment: argmax-cosine centroid id per
-    vector (ties at 9 dp broken toward the lower cid)."""
+    vector (ties at 9 dp broken toward the lower cid). ``with_score``
+    adds ``ccos`` — the winning cosine (rounded 9 dp), the per-item
+    centroid affinity SemDeDup's keep rule ranks on."""
     c = _as_double(corpus, id_col, vec_col)
     scores = _centroid_scores(F.col("v"), centroids)
     # ONE array of (score, -cid) structs, argmax via array_max: each score
@@ -274,9 +277,10 @@ def ivf_assign(
         ]
     )
     best = F.array_max(structs)
-    return c.select(
-        F.col(id_col), F.col("v"), (-best["negcid"]).cast("int").alias("cid")
-    )
+    cols = [F.col(id_col), F.col("v"), (-best["negcid"]).cast("int").alias("cid")]
+    if with_score:
+        cols.append(best["s"].alias("ccos"))
+    return c.select(*cols)
 
 
 def ann_ivf_oneshot(

@@ -1446,6 +1446,85 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SemDeDup CTE prefix: hash-seeded coarse quantizer (salt #sem0),
+# argmax-cosine assignment with the winning score, within-cluster pairs.
+_SEM_ASSIGN_SQL = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 substring(md5(vec_id::VARCHAR || '#sem0'), 1, 8) AS hx
+          FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY hx, vec_id) - 1 AS cid, v
+             FROM e ORDER BY hx, vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, v, cid, cs AS ccos FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               round(list_cosine_similarity(e.v, c.v), 9) AS cs,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 9) >= 0.35)
+"""
+
+
+@register(
+    "dedup_semantic_pairs",
+    f"""
+    WITH {_SEM_ASSIGN_SQL}
+    SELECT id_a, id_b, CAST(cid AS INT) AS cid, round(cos, 6) AS cosine
+    FROM pairs
+    """,
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate stage: cosine >= 0.35 pairs WITHIN a coarse
+    embedding cluster (hash-seeded quantizer shared with the IVF index).
+    Pairwise work is bounded per cluster — never global n²."""
+    out = dedup.semantic_pairs(_emb(spark, sf_dir), 16, 0.35)
+    return out.select(
+        "id_a", "id_b", "cid", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE {_SEM_ASSIGN_SQL},
+    ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    walk(node, reach) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT w.node, ed.b FROM walk w JOIN ed ON w.reach = ed.a),
+    comp AS (SELECT node, min(reach) AS group_id FROM walk GROUP BY node),
+    lab AS (SELECT s.vec_id, s.cid, s.ccos,
+                   COALESCE(c.group_id, s.vec_id) AS group_id
+            FROM assign s LEFT JOIN comp c ON c.node = s.vec_id)
+    SELECT vec_id, CAST(cid AS INT) AS cid, round(ccos, 6) AS ccos,
+           group_id,
+           row_number() OVER (PARTITION BY group_id
+                              ORDER BY ccos ASC, vec_id ASC) = 1 AS keep
+    FROM lab
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup retention decision: duplicate pairs closed into
+    groups (connected components), each group keeps the member FARTHEST
+    from its cluster centroid (the paper's low-affinity rule); singletons
+    keep themselves. One row per vector."""
+    out = dedup.semantic_keep(_emb(spark, sf_dir), 16, 0.35)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cid",
+        F.round("ccos", 6).alias("ccos"),
+        "group_id",
+        "keep",
+    )
+
+
 @register(
     "text_redact_pii",
     r"""

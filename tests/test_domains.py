@@ -1122,3 +1122,82 @@ def test_ivf_persisted_index_probe_matches_oneshot(spark, tmp_path):
     # the probe's selective cid set must reach the index scan as a
     # DYNAMIC partition filter — only probed inverted lists are read
     assert "dynamicpruningexpression(cid" in plan, plan
+
+
+def test_semantic_keep_planted_duplicates_numpy_differential(spark):
+    """SemDeDup end-to-end on crafted vectors with planted semantic
+    duplicates: full independent numpy recomputation (hash-seeded
+    centroids -> argmax assignment -> within-cluster pairs -> union-find
+    components -> farthest-from-centroid keep rule) must agree exactly."""
+    import hashlib
+
+    from mhealth_spark.pipelines.dedup import semantic_keep
+    from mhealth_spark.pipelines.similarity import pick_centroids
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    # plant near-duplicates of every 5th vector (cosine ~0.999)
+    for i in range(0, 60, 5):
+        d = base[i] + 0.02 * rng.randn(16)
+        vecs.append(d / np.linalg.norm(d))
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    thr, n_clusters = 0.95, 8
+    out = (
+        semantic_keep(emb, n_clusters, thr)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    # --- independent numpy recomputation ---
+    V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    cents = np.array(pick_centroids(emb, n_clusters, salt="sem0"))
+    # sanity: centroid pick really is the md5 draw order
+    hx = sorted(
+        range(len(vecs)),
+        key=lambda i: (hashlib.md5(f"{i}#sem0".encode()).hexdigest()[:8], i),
+    )[:n_clusters]
+    np.testing.assert_allclose(cents, V[hx])
+    cs = np.round(
+        (V @ cents.T)
+        / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(cents, axis=1)),
+        9,
+    )
+    cid = np.argmax(cs, axis=1)  # argmax takes the first (lowest) index on ties
+    ccos = cs[np.arange(len(vecs)), cid]
+    parent = list(range(len(vecs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if cid[i] == cid[j]:
+                c = V[i] @ V[j] / (np.linalg.norm(V[i]) * np.linalg.norm(V[j]))
+                if np.round(c, 9) >= thr:
+                    n_pairs += 1
+                    a, b = find(i), find(j)
+                    parent[max(a, b)] = min(a, b)
+    assert n_pairs >= 10  # the planted dups actually form pairs
+    group = np.array([find(i) for i in range(len(vecs))])
+    keep = np.zeros(len(vecs), dtype=bool)
+    for g in np.unique(group):
+        members = np.where(group == g)[0]
+        best = members[np.lexsort((members, ccos[members]))][0]
+        keep[best] = True
+
+    np.testing.assert_array_equal(out["cid"].to_numpy(), cid)
+    np.testing.assert_allclose(out["ccos"].to_numpy(), ccos, atol=1e-9)
+    np.testing.assert_array_equal(out["group_id"].to_numpy(), group)
+    np.testing.assert_array_equal(out["keep"].to_numpy(), keep)
+    # exactly one survivor per group; dropped docs are all near a survivor
+    assert out.groupby("group_id")["keep"].sum().eq(1).all()
