@@ -102,6 +102,64 @@ def point_in_time_join(
     return joined.groupBy(*key_cols).agg(*agg_exprs)
 
 
+def horizon_label_join(
+    events: DataFrame,
+    requests: DataFrame,
+    agg_exprs: list[Column],
+    entity_col: str = "user_id",
+    event_ts: str = "ts",
+    request_ts: str = "ts",
+    horizon_hours: float = 24.0,
+    request_keys: list[str] | None = None,
+) -> DataFrame:
+    """Forward-horizon label join: for each request row, aggregate events
+    in ``(r.ts, r.ts + horizon]`` for the same entity — the mirror of
+    ``point_in_time_join`` used for LABEL generation (future outcomes over
+    a bounded horizon), where the training-time features come from the
+    backward join and the target comes from this one.
+
+    Leakage semantics are inverted on purpose: an event AT the request
+    timestamp is excluded (it is feature-side, visible to the backward
+    join's end-inclusive window), and the horizon end is inclusive. The
+    two windows therefore tile time exactly — no event is both feature
+    and label for the same request.
+
+    Physical strategy is identical to ``point_in_time_join``: equi-join on
+    ``(entity, time_bucket)`` with bucket width ≥ the horizon (each
+    request covers ≤ 2 forward buckets), exact range predicate inside the
+    left-join condition so empty-horizon requests still emit a row.
+    """
+    bucket_s = max(int(horizon_hours * 3600), 1)
+    keys = request_keys or [c for c in requests.columns]
+
+    e = events.alias("e")
+    r = requests.alias("r")
+    e_ts = F.col(f"e.{event_ts}")
+    r_ts = F.col(f"r.{request_ts}")
+
+    r_exp = r.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(r_ts) / bucket_s),
+                F.floor((_epoch(r_ts) + F.lit(bucket_s)) / bucket_s),
+            )
+        ),
+    )
+    e_b = e.withColumn("_b", F.floor(_epoch(e_ts) / bucket_s))
+
+    hi = _epoch(r_ts) + F.lit(int(horizon_hours * 3600))
+    range_pred = (e_ts > r_ts) & (_epoch(e_ts) <= hi)
+    cond = (
+        (F.col(f"r.{entity_col}") == F.col(f"e.{entity_col}"))
+        & (r_exp["_b"] == e_b["_b"])
+        & range_pred
+    )
+    joined = r_exp.join(e_b, on=cond, how="left")
+    key_cols = [F.col(f"r.{k}").alias(k) for k in keys]
+    return joined.groupBy(*key_cols).agg(*agg_exprs)
+
+
 def merge_asof_last(
     left: DataFrame,
     right: DataFrame,

@@ -400,6 +400,57 @@ def shard_assign(
     )
 
 
+def interleave_sources(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "il0",
+) -> DataFrame:
+    """Deterministic round-robin source interleaving for training order:
+    docs get a hash-shuffled rank WITHIN their source, and a global
+    ``interleave_key = (rank−1)·n_sources + source_index``. Sorting (or
+    range-writing) by that key visits sources in strict rotation — the
+    curriculum property that keeps every training window source-balanced
+    instead of clumped by ingest order.
+
+    Scale posture: NO global contiguous index is computed (that would be
+    a driver-side zipWithIndex pass at 10^12 rows). The key is sparse —
+    a total order, not a dense position — which is all a distributed
+    range-partitioned write needs. One window exchange per source (the
+    per-source rank) plus a broadcast join against the tiny distinct-
+    source frame; a skewed source only deepens its own rotation, it
+    cannot starve the interleave.
+    """
+    # the distinct-source frame is tiny by construction (|sources| ≪ rows);
+    # a single-partition window over it is deliberate — partitionBy(lit)
+    # keeps WindowExec from warning about the (intended) lone partition
+    one = Window.partitionBy(F.lit(0))
+    src_idx = (
+        df.select(source_col)
+        .distinct()
+        .withColumn(
+            "_src_idx",
+            F.row_number().over(one.orderBy(source_col)) - 1,
+        )
+        .withColumn("_n_src", F.count("*").over(one))
+    )
+    hx = _hex8(id_col, salt)
+    w = Window.partitionBy(source_col).orderBy("_hx", id_col)
+    return (
+        df.withColumn("_hx", hx)
+        .withColumn("rn_in_source", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(src_idx), source_col)
+        .withColumn(
+            "interleave_key",
+            (
+                (F.col("rn_in_source") - 1) * F.col("_n_src")
+                + F.col("_src_idx")
+            ).cast("long"),
+        )
+        .drop("_hx", "_src_idx", "_n_src")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

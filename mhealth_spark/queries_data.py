@@ -1937,3 +1937,136 @@ def corpus_select_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 6).alias("mean_logprob"),
         F.col("quality_rank").cast("int").alias("quality_rank"),
     )
+
+
+_LABEL_ORACLE = f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
+                    date_trunc('hour', max(ts)) AS t1
+             FROM t GROUP BY 1),
+    r AS (SELECT source, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM span)
+    SELECT r.source AS source, strftime(r.ts, '{_TS_FMT_DUCK}') AS req_ts,
+           count(e.n_tok)               AS docs_next,
+           CAST(sum(e.n_tok) AS BIGINT) AS tokens_next,
+           CAST(epoch(min(e.ts)) - epoch(r.ts) AS BIGINT) AS first_gap_s
+    FROM r LEFT JOIN t e
+      ON e.source = r.source
+     AND e.ts > r.ts
+     AND epoch(e.ts) <= epoch(r.ts) + 86400
+    GROUP BY r.source, r.ts
+    """
+
+
+@register("tokens_label_horizon", _LABEL_ORACLE)
+def tokens_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-horizon label join — the supervised mirror of
+    tokens_backfill_24h: per (source, request hour), aggregates over
+    (req, req+24h] only. Paired with the backward join this emits
+    leakage-clean (features, label) rows; the two windows tile the
+    request timestamp exactly."""
+    from mhealth_spark.tokens_engine import hourly_requests, label_horizon_features
+
+    tk = _tokens(spark)
+    out = label_horizon_features(tk, hourly_requests(tk))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_next",
+        "tokens_next",
+        "first_gap_s",
+    )
+
+
+@register(
+    "tokens_entropy",
+    f"""
+    WITH t AS (SELECT doc_id, tokens, n_tok FROM {_TOKENS_DUCK}),
+    u AS (SELECT doc_id, unnest(tokens) AS tok FROM t),
+    c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+          FROM u GROUP BY 1, 2),
+    e AS (SELECT doc_id, sum(c * ln(c)) AS sclc FROM c GROUP BY 1)
+    SELECT t.doc_id, t.n_tok,
+           round(ln(t.n_tok) - e.sclc / t.n_tok, 6) AS unigram_entropy,
+           round(len(list_distinct(list_transform(
+                     generate_series(1, t.n_tok - 1),
+                     i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                          + CAST(tokens[i + 1] AS BIGINT))))
+                 * 1.0 / (t.n_tok - 1), 6) AS bigram_distinct_ratio
+    FROM t JOIN e ON t.doc_id = e.doc_id
+    """,
+)
+def tokens_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution diversity (unigram entropy, bigram
+    distinct ratio) — computed within-row via sorted-run counting, zero
+    exchange; the oracle pays an explode+groupBy to agree on the values."""
+    from mhealth_spark.tokens_engine import distribution_features
+
+    out = distribution_features(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.round("unigram_entropy", 6).alias("unigram_entropy"),
+        F.round("bigram_distinct_ratio", 6).alias("bigram_distinct_ratio"),
+    )
+
+
+@register(
+    "tokens_repeat_flag",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok,
+                      md5(array_to_string(tokens, ',')) AS fp
+               FROM {_TOKENS_DUCK})
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           fp,
+           COALESCE(list_contains(
+               list(fp) OVER (PARTITION BY writer_id ORDER BY ts, doc_id
+                              ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING),
+               fp), false) AS is_repeat
+    FROM t
+    """,
+)
+def tokens_repeat_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window consecutive-repeat flags (batch twin of the
+    streaming near-dup guard). The synthetic table has no true repeats —
+    the oracle still pins the full fingerprint chain (md5 parity feeds
+    the output column); planted-repeat behavior is pytest-checked."""
+    from mhealth_spark.tokens_engine import consecutive_repeat_flags
+
+    out = consecutive_repeat_flags(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        "fp",
+        "is_repeat",
+    )
+
+
+@register(
+    "corpus_interleave",
+    """
+    WITH s AS (SELECT source,
+                      row_number() OVER (ORDER BY source) - 1 AS src_idx,
+                      count(*) OVER () AS n_src
+               FROM (SELECT DISTINCT source FROM documents)),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY substring(md5(doc_id::VARCHAR || '#il0'), 1, 8),
+                              doc_id) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.source,
+           CAST(r.rn AS BIGINT) AS rn_in_source,
+           CAST((r.rn - 1) * s.n_src + s.src_idx AS BIGINT) AS interleave_key
+    FROM r JOIN s USING (source)
+    """,
+)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin source interleaving (training order):
+    sparse global ordering key, no driver-side global index."""
+    from mhealth_spark.pipelines.corpus import interleave_sources
+
+    out = interleave_sources(_docs(spark, sf_dir))
+    return out.select("doc_id", "source", "rn_in_source", "interleave_key")

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from mhealth_spark.asof import point_in_time_join
+from mhealth_spark.asof import horizon_label_join, point_in_time_join
 from mhealth_spark.intervals import sessionize
 from mhealth_spark.skew import salted_agg
 from mhealth_spark.source import layout_events
@@ -265,6 +265,42 @@ def backfill_features(
     )
 
 
+def label_horizon_features(
+    tokens: DataFrame,
+    requests: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    horizon_hours: float = 24.0,
+) -> DataFrame:
+    """Forward-horizon LABEL aggregates per (entity, request ts): every
+    aggregate sees only ``request.ts < ts <= request.ts + horizon`` — the
+    supervised-learning mirror of ``backfill_features``. Together the two
+    emit a leakage-clean training row: features from the strict past,
+    labels from the strict future, the request timestamp tiling the
+    boundary (at-request events are feature-side only).
+
+    ``first_gap_s`` is the time to the entity's next document (NULL when
+    the horizon is empty) — the "time-to-next-event" target family.
+    """
+    return horizon_label_join(
+        tokens,
+        requests,
+        agg_exprs=[
+            F.count(F.col("e.n_tok")).alias("docs_next"),
+            F.sum(F.col("e.n_tok")).alias("tokens_next"),
+            (
+                F.unix_timestamp(F.min(F.col(f"e.{ts_col}")))
+                - F.unix_timestamp(F.first(F.col("r.ts")))
+            ).alias("first_gap_s"),
+        ],
+        entity_col=entity_col,
+        event_ts=ts_col,
+        request_ts="ts",
+        horizon_hours=horizon_hours,
+        request_keys=[entity_col, "ts"],
+    )
+
+
 def backfill_features_grid(
     tokens: DataFrame,
     entity_col: str = "source",
@@ -368,6 +404,111 @@ def daily_source_stats(
             F.max("mx").alias("max_len"),
         ],
         salt_buckets=salt_buckets,
+    )
+
+
+def consecutive_repeat_flags(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    lookback_rows: int = 16,
+) -> DataFrame:
+    """Within-entity near-consecutive duplicate flag: a doc is a repeat
+    when its content fingerprint already appeared in the entity's last
+    ``lookback_rows`` docs — the batch twin of the streaming near-dup
+    guard (same bounded-state semantics: K fingerprints per entity, not
+    an unbounded seen-set). Catches retry storms, double-ingest and
+    crawler loops that global exact-dedup also finds but only after a
+    full corpus shuffle; this flags them inside the existing (entity, ts)
+    window layout with one O(K)-per-row pass.
+
+    Fingerprint is md5 of the comma-joined token text — engine-portable
+    (DuckDB twin: ``md5(array_to_string(tokens, ','))``).
+    """
+    fp = F.md5(
+        F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+    )
+    narrow = tokens.select(
+        "doc_id", entity_col, ts_col, F.col("n_tok"), fp.alias("_fp")
+    )
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, "doc_id")
+        .rowsBetween(-lookback_rows, -1)
+    )
+    recent = F.collect_list("_fp").over(w)
+    return narrow.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        "n_tok",
+        F.col("_fp").alias("fp"),
+        F.array_contains(recent, F.col("_fp")).alias("is_repeat"),
+    )
+
+
+def distribution_features(tokens: DataFrame) -> DataFrame:
+    """Per-document token-distribution diversity features, all within-row
+    (no shuffle, no Python):
+
+    - ``unigram_entropy`` — Shannon entropy (nats) of the doc's token
+      histogram, computed as ``ln(n) − Σ c·ln(c) / n`` over sorted-run
+      lengths: ``array_sort`` the tokens, find run boundaries with a
+      filtered index sequence, diff adjacent boundaries for the counts.
+      No explode/groupBy — a 10^12-sequence scan stays embarrassingly
+      parallel with zero exchange.
+    - ``bigram_distinct_ratio`` — distinct adjacent-pair count over
+      (n−1), via the shifted-slice zip (the n-gram pattern used by the
+      dedup family); pairs packed into one long (vocab < 2^32).
+
+    Low entropy / low bigram diversity flag degenerate or boilerplate
+    sequences — the token-level analogue of the text repetition filter.
+    """
+    # Stage the sorted array and run-start positions as real columns:
+    # Catalyst does NOT common-subexpression-eliminate inside HOF lambdas,
+    # so `element_at(array_sort(t), i)` in the filter body would re-sort
+    # the whole array once PER ELEMENT (O(n² log n) per row — measured as
+    # a hang at 3k docs). Bound column refs keep each lambda step O(1).
+    t = F.col("tokens")
+    n = F.col("n_tok").cast("int")
+    staged = tokens.select(
+        "doc_id",
+        "n_tok",
+        t.alias("_t"),
+        F.array_sort(t).alias("_s"),
+    ).withColumn(
+        # 1-indexed run-start positions: i == 1 or s[i] != s[i-1]
+        "_bpos",
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - F.lit(1))),
+        ),
+    )
+    bpos = F.col("_bpos")
+    ends = F.concat(
+        F.slice(bpos, 2, F.greatest(F.size(bpos) - 1, F.lit(0))),
+        F.array(n + F.lit(1)),
+    )
+    run_lens = F.zip_with(bpos, ends, lambda a, b: (b - a).cast("double"))
+    sclc = F.aggregate(
+        run_lens, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    nd = n.cast("double")
+    big = F.lit(4294967296)  # 2^32: injective pair packing for int32 vocab
+    tc = F.col("_t")
+    bigrams = F.zip_with(
+        F.slice(tc, 1, n - 1),
+        F.slice(tc, 2, n - 1),
+        lambda a, b: a.cast("long") * big + b.cast("long"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tok",
+        (F.log(nd) - sclc / nd).alias("unigram_entropy"),
+        (
+            F.size(F.array_distinct(bigrams)).cast("double") / (nd - 1)
+        ).alias("bigram_distinct_ratio"),
     )
 
 

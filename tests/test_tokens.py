@@ -74,3 +74,142 @@ def test_feature_vectors_consistent_with_row_features(spark):
     assert set(fv.columns) == set(rf.columns)
     for c in fv.columns:
         pd.testing.assert_series_equal(fv[c], rf[c], check_names=False)
+
+
+def test_label_horizon_matches_brute_force_and_strictly_future(spark):
+    """Forward label join: per (source, hour) aggregates over (r, r+24h]
+    only — differential vs a pandas brute force, plus the tiling property
+    with the backward join (no event is both feature and label)."""
+    import pandas as pd
+
+    from mhealth_spark.tokens_engine import (
+        backfill_features,
+        hourly_requests,
+        label_horizon_features,
+    )
+
+    tk = synth_tokens(spark, 400, seed=11)
+    reqs = hourly_requests(tk)
+    fwd = label_horizon_features(tk, reqs).toPandas()
+    bwd = backfill_features(tk, reqs).toPandas()
+
+    ev = tk.select("source", "ts", "n_tok").toPandas()
+    for _, r in fwd.sample(n=40, random_state=0).iterrows():
+        lo = r["ts"]
+        hi = lo + pd.Timedelta(hours=24)
+        m = ev[(ev.source == r["source"]) & (ev.ts > lo) & (ev.ts <= hi)]
+        assert r["docs_next"] == len(m)
+        if len(m):
+            assert r["tokens_next"] == m.n_tok.sum()
+            gap = (m.ts.min() - lo).total_seconds()
+            assert r["first_gap_s"] == gap and gap > 0
+        else:
+            assert pd.isna(r["first_gap_s"])
+
+    # tiling: backward window ends AT r.ts (inclusive), forward starts
+    # strictly after — total docs over both = docs in (r-24h, r+24h]
+    both = fwd.merge(bwd, on=["source", "ts"])
+    ev_by_src = {s: g for s, g in ev.groupby("source")}
+    for _, r in both.sample(n=25, random_state=1).iterrows():
+        g = ev_by_src[r["source"]]
+        lo = r["ts"] - pd.Timedelta(hours=24)
+        hi = r["ts"] + pd.Timedelta(hours=24)
+        n_union = len(g[(g.ts > lo) & (g.ts <= hi)])
+        assert int(r["docs_24h"]) + int(r["docs_next"]) == n_union
+
+
+def test_distribution_features_brute_force(spark):
+    """unigram_entropy / bigram_distinct_ratio vs a numpy reference."""
+    import numpy as np
+
+    from mhealth_spark.tokens_engine import distribution_features
+
+    tk = synth_tokens(spark, 120, seed=3)
+    out = distribution_features(tk).toPandas().set_index("doc_id")
+    raw = tk.select("doc_id", "tokens").toPandas().set_index("doc_id")
+    for doc_id, row in raw.iterrows():
+        t = np.asarray(list(row.tokens), dtype=np.int64)
+        n = len(t)
+        _, counts = np.unique(t, return_counts=True)
+        ent = np.log(n) - float((counts * np.log(counts)).sum()) / n
+        pairs = t[:-1] * 4294967296 + t[1:]
+        ratio = len(np.unique(pairs)) / (n - 1)
+        got = out.loc[doc_id]
+        assert abs(got.unigram_entropy - ent) < 1e-9
+        assert abs(got.bigram_distinct_ratio - ratio) < 1e-9
+    # degenerate doc: constant tokens → entropy 0, one distinct bigram
+    import pandas as pd
+
+    const = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["c"], "tokens": [[7] * 32], "n_tok": [32]})
+    )
+    g = distribution_features(const).toPandas().iloc[0]
+    assert g.unigram_entropy == 0.0
+    assert abs(g.bigram_distinct_ratio - 1 / 31) < 1e-12
+
+
+def test_consecutive_repeat_flags_planted(spark):
+    """Plant exact repeats inside and outside the lookback window; only
+    the in-window one flags."""
+    import pandas as pd
+
+    from mhealth_spark.tokens_engine import consecutive_repeat_flags
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    # writer A: doc 0 repeated at position 3 (in window) and a distinct tail
+    seqs = [[1, 2, 3], [4, 5], [6, 7, 8], [1, 2, 3], [9, 9]]
+    for i, s in enumerate(seqs):
+        rows.append(("a%d" % i, "wA", base + pd.Timedelta(minutes=i), s, len(s)))
+    # writer B: repeat beyond the K=2 lookback → NOT flagged
+    seqs_b = [[1, 1], [2, 2], [3, 3], [1, 1]]
+    for i, s in enumerate(seqs_b):
+        rows.append(("b%d" % i, "wB", base + pd.Timedelta(minutes=i), s, len(s)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "writer_id", "ts", "tokens", "n_tok"])
+    )
+    out = (
+        consecutive_repeat_flags(df, lookback_rows=2)
+        .toPandas()
+        .set_index("doc_id")["is_repeat"]
+    )
+    assert not out["a0"] and not out["a1"] and not out["a2"]
+    assert not out["a3"]  # repeat of a0, but 3 rows back > K=2
+    assert not out["a4"]
+    assert not out["b3"]  # repeat of b0, 3 back > K=2
+    # widen the window: now both repeats flag
+    out4 = (
+        consecutive_repeat_flags(df, lookback_rows=4)
+        .toPandas()
+        .set_index("doc_id")["is_repeat"]
+    )
+    assert out4["a3"] and out4["b3"]
+    assert int(out4.sum()) == 2
+
+
+def test_interleave_sources_round_robin(spark):
+    """interleave_key is a total order that rotates sources: within any
+    prefix of the sorted order, per-source counts differ by ≤ 1 while all
+    sources still have docs remaining."""
+    import pandas as pd
+
+    from mhealth_spark.pipelines.corpus import interleave_sources
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(90),
+            "source": ["s%d" % (i % 3) for i in range(30)]
+            + ["s0"] * 30
+            + ["s1"] * 30,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = interleave_sources(df).toPandas().sort_values("interleave_key")
+    assert out.interleave_key.is_unique
+    # first 3*k keys: balanced while every source has supply (s2 has 10)
+    head = out.head(30)
+    counts = head.source.value_counts()
+    assert counts.max() - counts.min() <= 1
+    # determinism: second run identical
+    out2 = interleave_sources(df).toPandas().sort_values("interleave_key")
+    assert (out.doc_id.values == out2.doc_id.values).all()
