@@ -342,6 +342,59 @@ def stream_backfill_features(
     )
 
 
+def stream_label_horizon(
+    requests: DataFrame,
+    events: DataFrame,
+    entity_col: str = "source",
+    event_ts: str = "ts",
+    request_ts: str = "ts",
+    horizon_hours: float = 24.0,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming face of ``tokens_engine.label_horizon_features``: label
+    REQUESTS arrive on a stream; the static (already-complete) event
+    table is joined per microbatch over the strict-future window
+    ``r.ts < e.ts <= r.ts + horizon``. Batch/stream exact agreement is
+    pytest-checked.
+
+    Semantics note for a streaming EVENT side: a forward label is only
+    final once every event up to ``r.ts + horizon`` has been seen, so a
+    stream-stream variant must hold requests with a watermark of at
+    least the horizon plus allowed lateness before emitting — labels
+    emitted earlier could still grow. With a static/complete event table
+    (the backfill-training case) no such delay is needed and ``append``
+    with any request watermark is exact for emitted rows."""
+    r = requests
+    if watermark is not None:
+        r = r.withWatermark(request_ts, watermark)
+    r = r.alias("r")
+    e = events.alias("e")
+    hz_s = int(horizon_hours * 3600)
+    cond = (
+        (F.col(f"e.{entity_col}") == F.col(f"r.{entity_col}"))
+        & (F.col(f"e.{event_ts}") > F.col(f"r.{request_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            <= F.col(f"r.{request_ts}") + F.expr(f"INTERVAL {hz_s} SECONDS")
+        )
+    )
+    return (
+        r.join(e, cond, "left")
+        .groupBy(
+            F.col(f"r.{entity_col}").alias(entity_col),
+            F.col(f"r.{request_ts}").alias("ts"),
+        )
+        .agg(
+            F.count(F.col("e.n_tok")).alias("docs_next"),
+            F.sum(F.col("e.n_tok")).alias("tokens_next"),
+            (
+                F.unix_timestamp(F.min(F.col(f"e.{event_ts}")))
+                - F.unix_timestamp(F.first(F.col(f"r.{request_ts}")))
+            ).alias("first_gap_s"),
+        )
+    )
+
+
 def stream_neardup_candidates(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -469,3 +469,41 @@ def test_stream_backfill_features_append_mode_watermark(spark, tmp_path):
     for c in ["docs_24h", "tokens_24h", "mean_len_24h", "max_len_24h"]:
         lhs, rhs = joined[c], joined[f"{c}_b"]
         assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all(), c
+
+
+def test_stream_label_horizon_matches_batch(spark, tmp_path):
+    """stream_label_horizon: streaming requests + static event table must
+    equal the batch forward-label twin on every (entity, req_ts),
+    empty-horizon requests included."""
+    from mhealth_spark.streaming import stream_label_horizon
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import hourly_requests, label_horizon_features
+
+    events = spark.read.parquet(
+        materialize_synth_tokens(spark, 500, seed=42)
+    ).select("doc_id", "source", "ts", "n_tok")
+    requests = hourly_requests(events)
+    req_path = str(tmp_path / "reqs_lh")
+    requests.write.parquet(req_path)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(req_path).schema
+    ).parquet(req_path)
+    q = (
+        stream_label_horizon(stream, events)
+        .writeStream.format("memory")
+        .queryName("t_label_horizon")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_label_horizon").toPandas()
+
+    batch = label_horizon_features(events, requests).toPandas()
+    key = ["source", "ts"]
+    cols = key + ["docs_next", "tokens_next", "first_gap_s"]
+    g = got[cols].sort_values(key).reset_index(drop=True)
+    b = batch[cols].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    pd.testing.assert_frame_equal(g, b, check_dtype=False, atol=1e-9)
