@@ -757,6 +757,29 @@ def build_corpus(
     return cur, audit
 
 
+def curriculum_buckets(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    group_col: str = "source",
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum bucketing: ntile the docs of each group by a
+    score column (bucket 1 = highest quality). Training schedules that
+    warm up on clean data and anneal onto the tail read buckets in
+    order; per-GROUP tiling keeps a strong domain from monopolizing the
+    top bucket the way a global ntile would. One window exchange on the
+    group key; score rounded to 9 dp before ranking so any engine
+    buckets identically (same convention as ``select_best_per_group``).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.round(F.col(score_col), 9).desc(), id_col
+    )
+    return scored.withColumn(
+        "curriculum_bucket", F.ntile(n_buckets).over(w).cast("int")
+    )
+
+
 def select_best_per_group(
     scored: DataFrame,
     score_col: str = "mean_logprob",

@@ -2070,3 +2070,42 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = interleave_sources(_docs(spark, sf_dir))
     return out.select("doc_id", "source", "rn_in_source", "interleave_key")
+
+
+@register(
+    "corpus_curriculum",
+    f"""
+    WITH ex AS (SELECT doc_id, source, unnest(tokens) AS token
+                FROM {_TOKENS_DUCK}),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+    p AS (SELECT token, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+          FROM c, t),
+    s AS (SELECT ex.doc_id, ex.source, avg(p.logp) AS mean_logprob
+          FROM ex JOIN p USING (token) GROUP BY 1, 2)
+    SELECT doc_id, source, round(mean_logprob, 6) AS mean_logprob,
+           CAST(ntile(4) OVER (PARTITION BY source
+                ORDER BY round(mean_logprob, 9) DESC, doc_id) AS INT)
+               AS curriculum_bucket
+    FROM s
+    """,
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum buckets: per-source ntile(4) over the unigram-LM
+    score — warm-up-on-clean-data training order."""
+    from mhealth_spark.pipelines.corpus import (
+        curriculum_buckets,
+        unigram_logprob_scores,
+    )
+
+    tk = _tokens(spark)
+    scores = unigram_logprob_scores(tk).join(
+        tk.select("doc_id", "source"), "doc_id"
+    )
+    out = curriculum_buckets(scores)
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        "curriculum_bucket",
+    )

@@ -1201,3 +1201,28 @@ def test_semantic_keep_planted_duplicates_numpy_differential(spark):
     np.testing.assert_array_equal(out["keep"].to_numpy(), keep)
     # exactly one survivor per group; dropped docs are all near a survivor
     assert out.groupby("group_id")["keep"].sum().eq(1).all()
+
+
+def test_curriculum_buckets_order_and_balance(spark):
+    """bucket 1 holds the highest scores; per-group bucket sizes differ by
+    at most 1 (ntile contract); bucketing is per-group, not global."""
+    import pandas as pd
+
+    from mhealth_spark.pipelines.corpus import curriculum_buckets
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(20)],
+            "source": ["a"] * 10 + ["b"] * 10,
+            "mean_logprob": [-float(i) for i in range(10)] * 2,
+        }
+    )
+    out = curriculum_buckets(spark.createDataFrame(pdf), n_buckets=4).toPandas()
+    for src, g in out.groupby("source"):
+        sizes = g.curriculum_bucket.value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        # scores within bucket k are all >= scores within bucket k+1
+        by_bucket = g.groupby("curriculum_bucket").mean_logprob
+        mins, maxs = by_bucket.min(), by_bucket.max()
+        for k in range(1, 4):
+            assert mins[k] >= maxs[k + 1]
