@@ -402,3 +402,182 @@ def source_centroids(
             F.max("n").alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression leg of the ANN family.
+# A d-dim vector becomes M small codes (one per subspace), the index stores
+# M bytes instead of d floats, and query scoring is M table lookups per
+# item (ADC). IVF bounds how much of the corpus a query TOUCHES; PQ bounds
+# what each touched item COSTS — production systems compose both.
+# ---------------------------------------------------------------------------
+def pick_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq0",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the ``n_codes`` corpus vectors with the
+    smallest md5(id '#' salt) draw seed ALL subspace codebooks — subspace
+    m's codebook is those rows' m-th subvector (same hash-uniform seeding
+    argument as ``pick_centroids``; no Lloyd iterations keeps the whole
+    structure engine-reproducible, which the DuckDB oracle needs).
+    Returns ``cb[m][j] = j-th code vector of subspace m``."""
+    hx = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
+    )
+    rows = (
+        corpus.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+            hx.alias("_hx"),
+        )
+        .orderBy("_hx", id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = [list(r["v"]) for r in rows]
+    d = len(vecs[0])
+    ds = d // n_subspaces
+    return [
+        [v[m * ds : (m + 1) * ds] for v in vecs] for m in range(n_subspaces)
+    ]
+
+
+def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
+    """The full M×Ks×ds codebook as ONE nested-array literal column —
+    CreateArray over foldables constant-folds to a single Literal, so it
+    costs nothing per row (the broadcast-equivalent at sandbox scale)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in sub])
+                    for sub in cb
+                ]
+            )
+            for cb in codebooks
+        ]
+    )
+
+
+def _l2sq_fold(a: Column, b: Column) -> Column:
+    """Σ (a[i] − b[i])² as a left-to-right zip_with/aggregate fold — the
+    same association order on every engine, so rounded distances rank
+    identically in Spark and the SQL oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the argmin-L2² code (ties at
+    9 dp toward the lower code id). The codebook rides as one
+    constant-folded nested-array literal and ALL per-row work happens in
+    higher-order functions over bound references — no per-code unrolled
+    expressions (an unrolled 8×16×8 sum tree blew janino's 64 KB method
+    limit and fell back to interpreted whole-stage eval, ~10× slower).
+    argmin uses the struct/array_min shape with the two-arg (element,
+    index) lambda. Output: (id, v, codes array<int> length M)."""
+    c = _as_double(corpus, id_col, vec_col)
+    m_count = len(codebooks)
+    ds = len(codebooks[0][0])
+    staged = c.withColumn("_cb", _codebook_lit(codebooks))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.element_at(F.col("_cb"), m + F.lit(1)),
+                lambda sub, j: F.struct(
+                    F.round(
+                        _l2sq_fold(
+                            F.slice(F.col("v"), m * F.lit(ds) + F.lit(1), F.lit(ds)),
+                            sub,
+                        ),
+                        9,
+                    ).alias("d"),
+                    j.alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("v"),
+        codes.cast("array<int>").alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ index: each query first builds
+    its M×Ks lookup table (exact L2² from the query subvector to every
+    code vector — map-only, HOFs over the constant-folded codebook
+    literal), then every candidate costs M ``element_at`` lookups
+    instead of d multiplies: ``adc = Σ_m lut[m][codes[m]]``. The query
+    side (tiny) broadcasts; the encoded corpus never shuffles until the
+    per-query top-k window over k·|queries| survivors. Approximation
+    error comes only from quantization — ADC itself is exact given the
+    codes."""
+    m_count = len(codebooks)
+    ds = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("_cb", _codebook_lit(codebooks))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda m: F.transform(
+            F.element_at(F.col("_cb"), m + F.lit(1)),
+            lambda sub: F.round(
+                _l2sq_fold(
+                    F.slice(F.col("qv"), m * F.lit(ds) + F.lit(1), F.lit(ds)),
+                    sub,
+                ),
+                9,
+            ),
+        ),
+    )
+    q = q.select(query_id_col, F.col("qv"), lut.alias("_lut"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(encoded)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("_lut"),
+                    lambda code, row: F.element_at(row, code + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_dist"), 9).asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -2109,3 +2109,101 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 6).alias("mean_logprob"),
         "curriculum_bucket",
     )
+
+
+_PQ_CB_SQL = """
+    cbrows AS (
+      SELECT row_number() OVER (
+                 ORDER BY substring(md5(vec_id::VARCHAR || '#pq0'), 1, 8),
+                          vec_id) - 1 AS j,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+      ORDER BY substring(md5(vec_id::VARCHAR || '#pq0'), 1, 8), vec_id
+      LIMIT 16),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    dists AS (
+      SELECT e.vec_id, m.m, cbrows.j,
+             round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (e.v[m.m * 8 + i] - cbrows.cv[m.m * 8 + i])
+                      * (e.v[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
+      FROM e, generate_series(0, 7) m(m), cbrows),
+    best AS (
+      SELECT vec_id, m, j, d,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk
+      FROM dists)
+"""
+
+
+@register(
+    "ann_pq_codes",
+    f"""
+    WITH {_PQ_CB_SQL}
+    SELECT vec_id, string_agg(j::VARCHAR, '-' ORDER BY m) AS codes_s
+    FROM best WHERE rk = 1 GROUP BY vec_id
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: per-subspace argmin-L2 codes (M=8
+    subspaces × 16 codes) against deterministic hash-seeded codebooks —
+    map-only, codebooks as literals. The oracle re-derives the codebooks
+    and codes in SQL from the same md5-draw rule."""
+    from mhealth_spark.pipelines import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    cb = sim.pick_pq_codebooks(emb)
+    out = sim.pq_encode(emb, cb)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_s"),
+    )
+
+
+@register(
+    "ann_pq_adc",
+    f"""
+    WITH {_PQ_CB_SQL},
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    lut AS (
+      SELECT q.query_id, m.m, cbrows.j,
+             round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (q.v[m.m * 8 + i] - cbrows.cv[m.m * 8 + i])
+                      * (q.v[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
+      FROM q, generate_series(0, 7) m(m), cbrows),
+    adc AS (
+      SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d) AS adc
+      FROM best b JOIN lut l ON l.m = b.m AND l.j = b.j
+      WHERE b.rk = 1 AND b.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(adc, 9) ASC, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: per-query M×16 lookup table, then
+    every candidate costs M element_at lookups — the compressed-index
+    serving path (compose with IVF to also bound candidates touched)."""
+    from mhealth_spark.pipelines import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    cb = sim.pick_pq_codebooks(emb)
+    enc = sim.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_adc_topk(enc, cb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

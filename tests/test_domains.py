@@ -1226,3 +1226,80 @@ def test_curriculum_buckets_order_and_balance(spark):
         mins, maxs = by_bucket.min(), by_bucket.max()
         for k in range(1, 4):
             assert mins[k] >= maxs[k + 1]
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """Exact numpy differential for the PQ family: re-derive the
+    hash-seeded codebooks, the per-subspace argmin codes, and the ADC
+    top-k in pure numpy from the collected embeddings, and require the
+    Spark results to match code-for-code and rank-for-rank."""
+    import hashlib
+
+    from mhealth_spark.pipelines.similarity import (
+        pick_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    d = len(next(iter(vecs.values())))
+    M, Ks = 8, 16
+    ds = d // M
+
+    # numpy codebooks via the same md5 draw
+    def draw(vid):
+        return hashlib.md5(f"{vid}#pq0".encode()).hexdigest()[:8]
+
+    seed_ids = sorted(vecs, key=lambda v: (draw(v), v))[:Ks]
+    cb = np.stack([vecs[v] for v in seed_ids])  # Ks x d
+
+    spark_cb = pick_pq_codebooks(emb, n_subspaces=M, n_codes=Ks)
+    for m in range(M):
+        np.testing.assert_allclose(
+            np.asarray(spark_cb[m]), cb[:, m * ds:(m + 1) * ds]
+        )
+
+    # numpy encode: per-subspace argmin of round(L2^2, 9), ties -> low id
+    def np_codes(v):
+        out = []
+        for m in range(M):
+            dist = np.round(
+                ((cb[:, m * ds:(m + 1) * ds] - v[m * ds:(m + 1) * ds]) ** 2
+                 ).sum(axis=1), 9)
+            out.append(int(np.argmin(dist)))  # argmin takes first = low id
+        return out
+
+    enc = pq_encode(emb, spark_cb).toPandas()
+    got = {int(r.vec_id): list(r.codes) for r in enc.itertuples()}
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        assert got[vid] == np_codes(v), f"codes mismatch for {vid}"
+
+    # numpy ADC top-k for a handful of queries
+    qids = sorted(vecs)[:10]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = pq_adc_topk(
+        pq_encode(emb, spark_cb), spark_cb, queries, k=5
+    ).toPandas()
+    for q in qids:
+        qv = vecs[q]
+        lut = np.stack([
+            np.round(((cb[:, m * ds:(m + 1) * ds]
+                       - qv[m * ds:(m + 1) * ds]) ** 2).sum(axis=1), 9)
+            for m in range(M)
+        ])  # M x Ks
+        scored = sorted(
+            (round(sum(lut[m][c] for m, c in enumerate(np_codes(v))), 9), vid)
+            for vid, v in vecs.items() if vid != q
+        )[:5]
+        g = adc[adc.query_id == q].sort_values("rank")
+        assert list(g.neighbor_id) == [vid for _, vid in scored]
+        np.testing.assert_allclose(
+            g.adc_dist.values, [s for s, _ in scored], atol=1e-6
+        )
