@@ -474,33 +474,20 @@ def _l2sq_fold(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Map-only PQ encoding: per subspace, the argmin-L2² code (ties at
-    9 dp toward the lower code id). The codebook rides as one
-    constant-folded nested-array literal and ALL per-row work happens in
-    higher-order functions over bound references — no per-code unrolled
-    expressions (an unrolled 8×16×8 sum tree blew janino's 64 KB method
-    limit and fell back to interpreted whole-stage eval, ~10× slower).
-    argmin uses the struct/array_min shape with the two-arg (element,
-    index) lambda. Output: (id, v, codes array<int> length M)."""
-    c = _as_double(corpus, id_col, vec_col)
-    m_count = len(codebooks)
-    ds = len(codebooks[0][0])
-    staged = c.withColumn("_cb", _codebook_lit(codebooks))
-    codes = F.transform(
+def _pq_codes_expr(v: Column, cb: Column, m_count: int, ds: int) -> Column:
+    """Per-subspace argmin-L2² codes (ties at 9 dp toward the lower code
+    id) as ONE HOF expression over the codebook column: array<int> of
+    length M. argmin uses the struct/array_min shape with the explicit
+    two-arg (element, index) lambda."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(m_count - 1)),
         lambda m: F.array_min(
             F.transform(
-                F.element_at(F.col("_cb"), m + F.lit(1)),
+                F.element_at(cb, m + F.lit(1)),
                 lambda sub, j: F.struct(
                     F.round(
                         _l2sq_fold(
-                            F.slice(F.col("v"), m * F.lit(ds) + F.lit(1), F.lit(ds)),
+                            F.slice(v, m * F.lit(ds) + F.lit(1), F.lit(ds)),
                             sub,
                         ),
                         9,
@@ -509,11 +496,58 @@ def pq_encode(
                 ),
             )
         )["cid"],
+    ).cast("array<int>")
+
+
+def _pq_lut_expr(qv: Column, cb: Column, m_count: int, ds: int) -> Column:
+    """The query-side ADC lookup table as an M×Ks nested array: exact
+    L2² (rounded 9 dp) from each query subvector to every code vector."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m_count - 1)),
+        lambda m: F.transform(
+            F.element_at(cb, m + F.lit(1)),
+            lambda sub: F.round(
+                _l2sq_fold(
+                    F.slice(qv, m * F.lit(ds) + F.lit(1), F.lit(ds)),
+                    sub,
+                ),
+                9,
+            ),
+        ),
+    )
+
+
+def _adc_fold(codes: Column, lut: Column) -> Column:
+    """``Σ_m lut[m][codes[m]]`` — M element_at lookups per candidate,
+    left-to-right fold so Spark and the SQL oracle sum in one order."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda code, row: F.element_at(row, code + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the argmin-L2² code. The
+    codebook rides as one constant-folded nested-array literal and ALL
+    per-row work happens in higher-order functions over bound references
+    — no per-code unrolled expressions (an unrolled 8×16×8 sum tree blew
+    janino's 64 KB method limit and fell back to interpreted whole-stage
+    eval, ~10× slower). Output: (id, v, codes array<int> length M)."""
+    c = _as_double(corpus, id_col, vec_col)
+    staged = c.withColumn("_cb", _codebook_lit(codebooks))
+    codes = _pq_codes_expr(
+        F.col("v"), F.col("_cb"), len(codebooks), len(codebooks[0][0])
     )
     return staged.select(
         F.col(id_col),
         F.col("v"),
-        codes.cast("array<int>").alias("codes"),
+        codes.alias("codes"),
     )
 
 
@@ -535,24 +569,12 @@ def pq_adc_topk(
     per-query top-k window over k·|queries| survivors. Approximation
     error comes only from quantization — ADC itself is exact given the
     codes."""
-    m_count = len(codebooks)
-    ds = len(codebooks[0][0])
     q = queries.select(
         F.col(query_id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
     ).withColumn("_cb", _codebook_lit(codebooks))
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m_count - 1)),
-        lambda m: F.transform(
-            F.element_at(F.col("_cb"), m + F.lit(1)),
-            lambda sub: F.round(
-                _l2sq_fold(
-                    F.slice(F.col("qv"), m * F.lit(ds) + F.lit(1), F.lit(ds)),
-                    sub,
-                ),
-                9,
-            ),
-        ),
+    lut = _pq_lut_expr(
+        F.col("qv"), F.col("_cb"), len(codebooks), len(codebooks[0][0])
     )
     q = q.select(query_id_col, F.col("qv"), lut.alias("_lut"))
     scored = (
@@ -562,15 +584,143 @@ def pq_adc_topk(
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("_lut"),
-                    lambda code, row: F.element_at(row, code + F.lit(1)),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            _adc_fold(F.col("codes"), F.col("_lut")).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_dist"), 9).asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jégou et al. 2011): the composed billion-scale index.
+# IVF bounds how much of the corpus a query TOUCHES (probe n_probe of
+# n_centroids inverted lists); PQ bounds what each touched item COSTS
+# (M byte codes + M table lookups instead of d floats + d multiplies).
+# Codes quantize the RESIDUAL v − centroid(cid) — residuals are centered
+# and much lower-energy than raw vectors, so the same codebook budget
+# buys far less quantization error.
+# ---------------------------------------------------------------------------
+def _centroid_matrix_lit(centroids: list[list[float]]) -> Column:
+    """All coarse centroids as one constant-folded nested-array literal,
+    indexable by ``element_at(_, cid + 1)``."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivfpq_residuals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only coarse assignment + residual: (id, cid, r = v − c_cid).
+    Reuses ``ivf_assign`` (argmax-cosine centroid, ties toward the lower
+    cid); the centroid matrix rides as a literal so the residual is pure
+    codegen — no join, no shuffle, the 10^12-row shape."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cmat = _centroid_matrix_lit(centroids)
+    return assigned.select(
+        F.col(id_col),
+        F.col("cid"),
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cmat, F.col("cid") + F.lit(1)),
+            lambda x, y: x - y,
+        ).alias("r"),
+    )
+
+
+def ivfpq_encode(
+    residuals: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    res_col: str = "r",
+) -> DataFrame:
+    """PQ-encode the residual frame, keeping the inverted-list id:
+    (id, cid, codes). This IS the persistable IVF-PQ index — at scale
+    written partitioned by cid (like ``ann_ivf_probe``'s inverted file)
+    with M bytes of payload per vector instead of d floats."""
+    staged = residuals.withColumn("_cb", _codebook_lit(codebooks))
+    codes = _pq_codes_expr(
+        F.col(res_col), F.col("_cb"), len(codebooks), len(codebooks[0][0])
+    )
+    return staged.select(F.col(id_col), F.col("cid"), codes.alias("codes"))
+
+
+def ann_ivfpq_adc(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC serving: each query probes its ``n_probe`` closest coarse
+    centroids, builds ONE ADC lookup table per probed list from its
+    RESIDUAL against that list's centroid (lut[m][j] = L2²(qr_m, cb[m][j])),
+    and candidates form by the equi-join on cid — so a query batch
+    touches n_probe/n_centroids of the index, and each candidate costs M
+    ``element_at`` lookups. The probe side (|queries|×n_probe rows, each
+    carrying an M×Ks lut) broadcasts; the encoded index never shuffles.
+    Distance is approximate through BOTH quantizers: adc ≈ ||q − c_cid −
+    r̂||² = ||qr − r̂||²."""
+    m_count = len(codebooks)
+    ds = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (-F.round(s, 9)).alias("negs"), F.lit(i).alias("cid")
+            )
+            for i, s in enumerate(_centroid_scores(F.col("qv"), centroids))
+        ]
+    )
+    cmat = _centroid_matrix_lit(centroids)
+    probes = (
+        q.select(
+            F.col(query_id_col),
+            F.col("qv"),
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, n_probe)
+            ).alias("p"),
+        )
+        .select(query_id_col, "qv", F.col("p.cid").alias("cid"))
+        .withColumn(
+            "qr",
+            F.zip_with(
+                F.col("qv"),
+                F.element_at(cmat, F.col("cid") + F.lit(1)),
+                lambda x, y: x - y,
+            ),
+        )
+        .withColumn("_cb", _codebook_lit(codebooks))
+        .select(
+            query_id_col,
+            "cid",
+            _pq_lut_expr(F.col("qr"), F.col("_cb"), m_count, ds).alias("_lut"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(encoded, "cid")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            _adc_fold(F.col("codes"), F.col("_lut")).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

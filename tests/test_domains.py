@@ -1303,3 +1303,102 @@ def test_pq_encode_and_adc_match_numpy(spark):
         np.testing.assert_allclose(
             g.adc_dist.values, [s for s, _ in scored], atol=1e-6
         )
+
+
+def test_ivfpq_adc_matches_numpy(spark):
+    """Exact numpy differential for the composed IVF-PQ path: re-derive
+    coarse assignment, residuals, residual codebooks, codes, per-probe
+    LUTs, and the ADC top-k in pure numpy and require rank-for-rank
+    agreement with the Spark plan."""
+    import hashlib
+
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivfpq_adc,
+        ivfpq_encode,
+        ivfpq_residuals,
+        pick_centroids,
+        pick_pq_codebooks,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    d = len(next(iter(vecs.values())))
+    NC, M, Ks, NP = 16, 8, 16, 4
+    ds = d // M
+
+    def draw(vid, salt):
+        return hashlib.md5(f"{vid}#{salt}".encode()).hexdigest()[:8]
+
+    cent_ids = sorted(vecs, key=lambda v: (draw(v, "ivf0"), v))[:NC]
+    cents = np.stack([vecs[v] for v in cent_ids])
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def assign(v):
+        scores = [round(cos(v, c), 9) for c in cents]
+        return max(range(NC), key=lambda i: (scores[i], -i))
+
+    cid = {vid: assign(v) for vid, v in vecs.items()}
+    resid = {vid: v - cents[cid[vid]] for vid, v in vecs.items()}
+
+    seed_ids = sorted(vecs, key=lambda v: (draw(v, "pqr0"), v))[:Ks]
+    cb = np.stack([resid[v] for v in seed_ids])  # Ks x d
+
+    def np_codes(r):
+        return [
+            int(np.argmin(np.round(
+                ((cb[:, m * ds:(m + 1) * ds] - r[m * ds:(m + 1) * ds]) ** 2
+                 ).sum(axis=1), 9)))
+            for m in range(M)
+        ]
+
+    spark_cents = pick_centroids(emb, NC)
+    np.testing.assert_allclose(np.asarray(spark_cents), cents)
+    res_df = ivfpq_residuals(emb, spark_cents)
+    spark_cb = pick_pq_codebooks(res_df, vec_col="r", salt="pqr0")
+    for m in range(M):
+        np.testing.assert_allclose(
+            np.asarray(spark_cb[m]), cb[:, m * ds:(m + 1) * ds]
+        )
+
+    enc = ivfpq_encode(res_df, spark_cb).toPandas()
+    got = {int(r.vec_id): (int(r.cid), list(r.codes))
+           for r in enc.itertuples()}
+    assert set(got) == set(vecs)
+    for vid in vecs:
+        assert got[vid] == (cid[vid], np_codes(resid[vid])), vid
+
+    qids = sorted(vecs)[:8]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = ann_ivfpq_adc(
+        ivfpq_encode(res_df, spark_cb), spark_cents, spark_cb,
+        queries, k=5, n_probe=NP,
+    ).toPandas()
+    for qid in qids:
+        qv = vecs[qid]
+        scores = [round(cos(qv, c), 9) for c in cents]
+        probed = sorted(range(NC), key=lambda i: (-scores[i], i))[:NP]
+        cands = []
+        for vid, v in vecs.items():
+            if vid == qid or cid[vid] not in probed:
+                continue
+            qr = qv - cents[cid[vid]]
+            lut = np.stack([
+                np.round(((cb[:, m * ds:(m + 1) * ds]
+                           - qr[m * ds:(m + 1) * ds]) ** 2).sum(axis=1), 9)
+                for m in range(M)
+            ])
+            a = round(sum(lut[m][c] for m, c in enumerate(np_codes(resid[vid]))), 9)
+            cands.append((a, vid))
+        expect = sorted(cands)[:5]
+        g = adc[adc.query_id == qid].sort_values("rank")
+        assert list(g.neighbor_id) == [vid for _, vid in expect], qid
+        np.testing.assert_allclose(
+            g.adc_dist.values, [s for s, _ in expect], atol=1e-6
+        )
