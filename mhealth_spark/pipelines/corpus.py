@@ -800,3 +800,96 @@ def select_best_per_group(
         .filter(F.col("_rk") <= k)
         .withColumnRenamed("_rk", "quality_rank")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    salt: str = "dsir0",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, *Data Selection
+    for Language Models via Importance Resampling*): score every doc by
+    how much more likely its hashed n-gram profile is under the TARGET
+    distribution (docs matching ``target_expr``) than under the RAW
+    corpus distribution — ``weight = mean_b [ln p_target(b) − ln p_raw(b)]``
+    over the doc's hashed unigram+bigram buckets, add-``alpha`` smoothed.
+    High-weight raw docs "look like" the target domain and get kept.
+
+    Scale shape (the reason DSIR beats classifier-based selection at
+    100 TB): the feature space is ``n_buckets`` HASH BUCKETS, not a
+    vocabulary — so (1) the histogram pass is one explode + groupBy with
+    map-side combine collapsing every partition to ≤n_buckets rows,
+    (2) the 2×n_buckets log-ratio table collects driver-side (bounded,
+    tiny) and rides the scoring pass as a constant-folded literal, and
+    (3) scoring is a PURE MAP: each doc folds λ over its own bucket
+    array — the corpus is read twice and shuffled never. The md5 bucket
+    hash keeps the whole structure engine-reproducible for the oracle
+    (a production tier would swap in xxhash64, same shape)."""
+    # materialize the word array once (one project level per derived
+    # expression — repeated split/filter subtrees are not reliably CSE'd)
+    w0 = docs.select(
+        F.col(id_col),
+        F.expr(target_expr).alias("_is_t"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        ).alias("_w"),
+    )
+    # unigrams + adjacent bigrams; the sequence is guarded because
+    # sequence(1, 0) DESCENDS in Spark (DuckDB generate_series is empty)
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = lambda c: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(c, F.lit("#" + salt))), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).cast("int")
+    staged = w0.select(
+        F.col(id_col),
+        F.col("_is_t"),
+        F.transform(F.concat(F.col("_w"), bigrams), bucket).alias("_bk"),
+    )
+    ex = staged.select(
+        "_is_t", F.explode("_bk").alias("b")
+    )
+    hist = (
+        ex.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        # ≤ n_buckets rows by construction — bounded driver collect
+        .collect()
+    )
+    t_tot = float(sum(r["ct"] for r in hist))
+    r_tot = float(sum(r["cr"] for r in hist))
+    lam = [0.0] * n_buckets
+    import math
+
+    for r in hist:
+        pt = (r["ct"] + alpha) / (t_tot + alpha * n_buckets)
+        pr = (r["cr"] + alpha) / (r_tot + alpha * n_buckets)
+        lam[r["b"]] = math.log(pt) - math.log(pr)
+    lam_lit = F.array(*[F.lit(x) for x in lam])
+    score = F.aggregate(
+        F.col("_bk"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lam_lit, b + F.lit(1)),
+    ) / F.size("_bk")
+    return staged.filter(F.size("_bk") > 0).select(
+        F.col(id_col),
+        F.col("_is_t").alias("is_target"),
+        F.size("_bk").cast("long").alias("n_feats"),
+        score.alias("dsir_weight"),
+    )

@@ -2306,3 +2306,50 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adc_dist", 6).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "corpus_dsir_weights",
+    """
+    WITH d AS (SELECT doc_id, (source IN ('src0', 'src1')) AS is_t,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    f AS (SELECT doc_id, is_t,
+                 list_concat(w, list_transform(generate_series(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1]))
+                     AS feats
+          FROM d),
+    ex AS (SELECT doc_id, is_t,
+                  CAST(CAST('0x' || substring(md5(ft || '#dsir0'), 1, 8)
+                       AS BIGINT) % 256 AS INT) AS b
+           FROM (SELECT doc_id, is_t, unnest(feats) AS ft FROM f)),
+    hist AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                    count(*) AS cr
+             FROM ex GROUP BY 1),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS rt FROM hist),
+    lam AS (SELECT b, ln((ct + 0.5) / (tt + 0.5 * 256))
+                    - ln((cr + 0.5) / (rt + 0.5 * 256)) AS l
+            FROM hist, tot),
+    sc AS (SELECT ex.doc_id, any_value(ex.is_t) AS is_target,
+                  count(*) AS n_feats, sum(lam.l) / count(*) AS wgt
+           FROM ex JOIN lam USING (b) GROUP BY 1)
+    SELECT doc_id, is_target, CAST(n_feats AS BIGINT) AS n_feats,
+           round(wgt, 6) AS dsir_weight
+    FROM sc
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    n-gram buckets, target-vs-raw add-alpha log-ratio, map-only scoring
+    with the 256-entry lambda table as a constant-folded literal — the
+    corpus shuffles zero times (histogram groupBy is bucket-bounded)."""
+    from mhealth_spark.pipelines.corpus import dsir_weights
+
+    out = dsir_weights(_docs(spark, sf_dir), "source IN ('src0', 'src1')")
+    return out.select(
+        "doc_id",
+        "is_target",
+        "n_feats",
+        F.round("dsir_weight", 6).alias("dsir_weight"),
+    )

@@ -1402,3 +1402,27 @@ def test_ivfpq_adc_matches_numpy(spark):
         np.testing.assert_allclose(
             g.adc_dist.values, [s for s, _ in expect], atol=1e-6
         )
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Semantics check on a crafted corpus: raw docs written in the
+    TARGET domain's vocabulary must out-weight raw docs written in a
+    disjoint vocabulary, and weights must be finite for every doc."""
+    from mhealth_spark.pipelines.corpus import dsir_weights
+
+    target_text = "alpha beta gamma delta epsilon zeta " * 5
+    offdomain = "zork quux blarg wibble frotz grue " * 5
+    rows = (
+        [(i, target_text, "tgt") for i in range(20)]
+        + [(100 + i, target_text, "raw") for i in range(5)]
+        + [(200 + i, offdomain, "raw") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_weights(docs, "source = 'tgt'").toPandas()
+    assert len(out) == 30 and out.dsir_weight.notna().all()
+    raw = out[~out.is_target]
+    like = raw[raw.doc_id < 200].dsir_weight
+    unlike = raw[raw.doc_id >= 200].dsir_weight
+    assert like.min() > unlike.max(), (like.min(), unlike.max())
+    # target-vocab docs carry positive evidence, off-domain negative
+    assert (like > 0).all() and (unlike < 0).all()
