@@ -259,3 +259,75 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("text_redacted", out).withColumn(
         "n_pii_redacted", n_hits.cast("int")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+    keep_first: bool = False,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """CCNet-style line-level dedup with RECONSTRUCTION (Wenzek et al.
+    2020): a line whose normalized hash appears in >= ``min_docs``
+    distinct documents is boilerplate (headers, nav bars, license
+    blurbs); this drops those lines and rebuilds each document's
+    cleaned text. ``keep_first=True`` keeps each duplicated line in the
+    single lowest-``id_col`` document instead of dropping it everywhere
+    (CCNet's shard-order rule, made deterministic corpus-wide).
+
+    Output: (id, n_lines, n_kept, text_clean) — docs whose every line
+    is boilerplate survive with ``text_clean = ''``.
+
+    Scale shape (span_dedup_stats' two-phase, plus a doc-bounded
+    rebuild): scan 1 aggregates line hashes with a two-phase
+    count-distinct + min — never a per-hash list, so a footer shared by
+    millions of docs costs two counters; the surviving duplicated-hash
+    set is output-sized and broadcasts back (``broadcast_dups=False``
+    falls back to a shuffled join for heavily templated crawls); scan 2
+    re-derives lines map-side, marks hits, and folds straight into the
+    per-document rebuild groupBy — sorting (pos, line) structs INSIDE
+    the aggregate so reconstruction order is deterministic under any
+    physical plan. Normalization (trim + lower) applies to the HASH
+    only; reconstruction keeps the original line text."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.lower(F.trim(F.col("line")))))
+    dup_agg = lines.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.min(F.col(id_col)).alias("first_id"),
+    )
+    dups = dup_agg.filter(F.col("n_docs") >= min_docs).select("h", "first_id")
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    marked = lines.join(dups, "h", "left")
+    keep = F.col("first_id").isNull()
+    if keep_first:
+        keep = keep | (F.col(id_col) == F.col("first_id"))
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                line_sep,
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.col("line").alias("line"),
+                            ),
+                        )
+                    )
+                ).getField("line"),
+            ).alias("text_clean"),
+        )
+    )
+    return rebuilt.select(
+        id_col, F.col("n_lines").cast("long").alias("n_lines"), "n_kept", "text_clean"
+    )

@@ -2353,3 +2353,73 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_feats",
         F.round("dsir_weight", 6).alias("dsir_weight"),
     )
+
+
+@register(
+    "text_line_dedup",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    l0 AS (SELECT doc_id,
+                  list_transform(
+                      generate_series(1, greatest(
+                          CAST(ceil(len(w) / 10.0) AS BIGINT), 1)),
+                      i -> array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' '))
+                      AS lines
+           FROM d),
+    l1 AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(lines)),
+                         i -> {'pos': i - 1, 'line': lines[i]})) AS pl
+           FROM l0),
+    l AS (SELECT doc_id, CAST(pl.pos AS INT) AS pos, pl.line AS line,
+                 md5(lower(trim(pl.line))) AS h
+          FROM l1),
+    dup AS (SELECT h, min(doc_id) AS first_id
+            FROM l GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    m AS (SELECT l.doc_id, l.pos, l.line,
+                 (dup.first_id IS NULL) AS keep
+          FROM l LEFT JOIN dup USING (h))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '')) AS clean_fp
+    FROM m GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup with reconstruction: the corpus has no
+    newlines, so the query first wraps each doc into deterministic
+    10-word lines (both engines identically), then drops every line
+    whose normalized hash appears in >=2 distinct docs and rebuilds the
+    cleaned text (fingerprinted for the compare)."""
+    from mhealth_spark.pipelines.text import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    wrapped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size(w) / 10.0).cast("int"), F.lit(1)
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - F.lit(1)) * 10 + F.lit(1), F.lit(10))
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(wrapped, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("text_clean").alias("clean_fp"),
+    )

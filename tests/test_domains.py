@@ -1426,3 +1426,41 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     assert like.min() > unlike.max(), (like.min(), unlike.max())
     # target-vocab docs carry positive evidence, off-domain negative
     assert (like > 0).all() and (unlike < 0).all()
+
+
+def test_line_dedup_crafted_modes(spark):
+    """Crafted-corpus value check for CCNet line dedup: drop-all removes
+    every occurrence of a cross-doc duplicated line; keep_first retains
+    it only in the lowest doc_id; reconstruction preserves original line
+    order and text; normalization (trim+lower) drives the hash but not
+    the rebuilt text."""
+    from mhealth_spark.pipelines.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared Footer\nunique one\nmore one"),
+            (2, "unique two\n  shared footer  \nmore two"),
+            (3, "all alone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 2
+    assert out[1].text_clean == "unique one\nmore one"
+    assert out[2].n_lines == 3 and out[2].n_kept == 2
+    assert out[2].text_clean == "unique two\nmore two"
+    assert out[3].n_kept == 1 and out[3].text_clean == "all alone"
+
+    kf = {r.doc_id: r for r in line_dedup(docs, keep_first=True).collect()}
+    assert kf[1].n_kept == 3
+    assert kf[1].text_clean == "Shared Footer\nunique one\nmore one"
+    assert kf[2].n_kept == 2 and kf[2].text_clean == "unique two\nmore two"
+
+    # a doc that is ALL boilerplate survives with empty text
+    docs2 = spark.createDataFrame(
+        [(1, "dup line"), (2, "dup line"), (3, "dup line\nextra")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in line_dedup(docs2).collect()}
+    assert out2[1].n_kept == 0 and out2[1].text_clean == ""
+    assert out2[3].n_kept == 1 and out2[3].text_clean == "extra"
