@@ -331,3 +331,34 @@ def line_dedup(
     return rebuilt.select(
         id_col, F.col("n_lines").cast("long").alias("n_lines"), "n_kept", "text_clean"
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the regex subset that
+# Java (Spark) and RE2 (DuckDB/production scanners) interpret identically:
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs, whitespace runs. (The original GPT-2 pattern's trailing-space
+# lookahead is dropped — RE2 has no lookahead.)
+PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    drop_space_runs: bool = True,
+) -> DataFrame:
+    """BPE-family pre-tokenization: split text into the GPT-2 pretoken
+    units (contractions, space-prefixed words, number runs, punctuation
+    runs) that a byte-pair merge table would then operate on. This is
+    the deterministic, engine-portable half of real tokenization — the
+    unit count is the input-length driver for packing/batching budgets,
+    and the unit sequence is what n-gram/fingerprint ops should consume
+    when whitespace words are too coarse. ``drop_space_runs`` removes
+    pure-whitespace units (they carry no merge information without the
+    lookahead form). Pure map — one regexp_extract_all per row, no
+    shuffle."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+    if drop_space_runs:
+        toks = F.filter(toks, lambda t: F.trim(t) != F.lit(""))
+    return df.withColumn("pretokens", toks).withColumn(
+        "n_pretokens", F.size("pretokens").cast("long")
+    )

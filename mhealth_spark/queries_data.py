@@ -2423,3 +2423,32 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("text_clean").alias("clean_fp"),
     )
+
+
+@register(
+    "text_pretokenize",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(
+                          regexp_extract_all(text,
+                              '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+                          x -> trim(x) <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_pretokens,
+           md5(array_to_string(toks, chr(31))) AS tok_fp
+    FROM t
+    """,
+)
+def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenization (the deterministic half of BPE):
+    unit counts + an exact unit-sequence fingerprint, identical under
+    Java and RE2 regex semantics (lookahead-free pattern)."""
+    from mhealth_spark.pipelines.text import pretokenize
+
+    out = pretokenize(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_pretokens",
+        F.md5(F.concat_ws("\u001f", "pretokens")).alias("tok_fp"),
+    )

@@ -1464,3 +1464,27 @@ def test_line_dedup_crafted_modes(spark):
     out2 = {r.doc_id: r for r in line_dedup(docs2).collect()}
     assert out2[1].n_kept == 0 and out2[1].text_clean == ""
     assert out2[3].n_kept == 1 and out2[3].text_clean == "extra"
+
+
+def test_pretokenize_crafted_units(spark):
+    """Value check of the GPT-2-style pretoken units on crafted text:
+    contractions split as suffix tokens, words keep their leading space,
+    digit and punctuation runs separate, space runs dropped."""
+    from mhealth_spark.pipelines.text import pretokenize
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world, it's 42 spark-fast!"), (2, "a  b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pretokenize(docs).collect()}
+    assert list(out[1].pretokens) == [
+        "Hello", " world", ",", " it", "'s", " 42", " spark", "-", "fast", "!",
+    ]
+    assert out[1].n_pretokens == 10
+    # a multi-space run is ONE whitespace token (greedy \s+), so the
+    # following word carries no leading space
+    assert list(out[2].pretokens) == ["a", "b"] and out[2].n_pretokens == 2
+
+    kept = pretokenize(docs, drop_space_runs=False).collect()
+    r2 = {r.doc_id: r for r in kept}[2]
+    assert list(r2.pretokens) == ["a", "  ", "b"]
