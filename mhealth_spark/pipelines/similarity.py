@@ -731,3 +731,45 @@ def ann_ivfpq_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd (k-means) refinement of a coarse quantizer: each iteration
+    re-assigns every vector to its argmax-cosine centroid (``ivf_assign``
+    — map-only, centroids as literals) and replaces each centroid with
+    its members' per-dim mean. Turns the hash-seeded one-shot quantizers
+    (IVF, IVF-PQ, SemDeDup) into trained ones; empty clusters keep their
+    previous centroid.
+
+    Scale shape per iteration: one map pass + one posexplode groupBy
+    whose OUTPUT is k×d rows (map-side combine collapses each partition
+    to ≤k×d partials — the same bounded-shuffle argument as
+    ``source_centroids``), then a k×d driver collect (bounded, tiny) to
+    refresh the literals. n_iters is a small constant — the classic
+    trade: each iteration is one more corpus read, no corpus shuffle
+    ever exceeds k×d keys."""
+    k = len(centroids)
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mu"))
+                ).getField("mu").alias("c")
+            )
+            # k×d doubles — bounded driver collect to refresh the literal
+            .collect()
+        )
+        new = {int(r["cid"]): [float(x) for x in r["c"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids

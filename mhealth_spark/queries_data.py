@@ -2452,3 +2452,60 @@ def text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pretokens",
         F.md5(F.concat_ws("\u001f", "pretokens")).alias("tok_fp"),
     )
+
+
+@register(
+    "ann_kmeans_refine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      substring(md5(vec_id::VARCHAR || '#ivf0'), 1, 8) AS hx
+               FROM embeddings),
+    cent AS (SELECT row_number() OVER (ORDER BY hx, vec_id) - 1 AS cid, v
+             FROM e ORDER BY hx, vec_id LIMIT 16),
+    a0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    dims AS (
+      SELECT a0.cid, u.dim, avg(a0.v[u.dim]) AS mu
+      FROM a0, (SELECT unnest(generate_series(1, 64)) AS dim) u
+      GROUP BY 1, 2),
+    cent1 AS (
+      SELECT cid, list(mu ORDER BY dim) AS v FROM dims GROUP BY cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent1 c) WHERE rn = 1)
+    SELECT a0.vec_id, CAST(a0.cid AS INT) AS cid_init,
+           CAST(a1.cid AS INT) AS cid_refined
+    FROM a0 JOIN a1 USING (vec_id)
+    """,
+)
+def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the hash-seeded coarse quantizer:
+    per-vector (initial, refined) list assignment. The refinement is a
+    map pass + a k×d-bounded posexplode groupBy per iteration; every
+    non-empty cluster's centroid moves to its members' per-dim mean.
+    Oracle re-derives the iteration fully in SQL."""
+    from mhealth_spark.pipelines import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    cents0 = sim.pick_centroids(emb, 16)
+    cents1 = sim.lloyd_refine(emb, cents0, n_iters=1)
+    a0 = sim.ivf_assign(emb, cents0).select(
+        "vec_id", F.col("cid").alias("cid_init")
+    )
+    a1 = sim.ivf_assign(emb, cents1).select(
+        "vec_id", F.col("cid").alias("cid_refined")
+    )
+    return a0.join(a1, "vec_id").select(
+        "vec_id",
+        F.col("cid_init").cast("int").alias("cid_init"),
+        F.col("cid_refined").cast("int").alias("cid_refined"),
+    )

@@ -1488,3 +1488,56 @@ def test_pretokenize_crafted_units(spark):
     kept = pretokenize(docs, drop_space_runs=False).collect()
     r2 = {r.doc_id: r for r in kept}[2]
     assert list(r2.pretokens) == ["a", "  ", "b"]
+
+
+def test_lloyd_refine_matches_numpy_and_improves_objective(spark):
+    """One Lloyd iteration: centroids must equal the numpy per-dim means
+    of the cosine-argmax members (empty clusters keep their seed), and
+    the mean assigned cosine must not decrease."""
+    import hashlib
+
+    from mhealth_spark.pipelines.similarity import (
+        ivf_assign,
+        lloyd_refine,
+        pick_centroids,
+    )
+    from mhealth_spark.source import read_table
+
+    emb = read_table(spark, "embeddings", SF001)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    NC = 16
+    seed_ids = sorted(
+        vecs, key=lambda v: (hashlib.md5(f"{v}#ivf0".encode()).hexdigest()[:8], v)
+    )[:NC]
+    cents0 = np.stack([vecs[v] for v in seed_ids])
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def assign(v, cents):
+        scores = [round(cos(v, c), 9) for c in cents]
+        return max(range(len(cents)), key=lambda i: (scores[i], -i))
+
+    cid0 = {vid: assign(v, cents0) for vid, v in vecs.items()}
+    cents1 = cents0.copy()
+    for c in range(NC):
+        members = [v for vid, v in vecs.items() if cid0[vid] == c]
+        if members:
+            cents1[c] = np.mean(members, axis=0)
+
+    got = np.asarray(lloyd_refine(emb, pick_centroids(emb, NC), n_iters=1))
+    np.testing.assert_allclose(got, cents1, rtol=1e-9, atol=1e-12)
+
+    obj0 = np.mean([cos(v, cents0[cid0[vid]]) for vid, v in vecs.items()])
+    cid1 = {vid: assign(v, cents1) for vid, v in vecs.items()}
+    obj1 = np.mean([cos(v, cents1[cid1[vid]]) for vid, v in vecs.items()])
+    assert obj1 >= obj0, (obj0, obj1)
+
+    # empty-cluster retention: 1 far-away seed among tight points
+    rows = [(i, [1.0, 0.0] if i < 5 else [0.0, 1.0]) for i in range(10)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    ref = lloyd_refine(tiny, seeds, n_iters=1)
+    assert ref[2] == [-1.0, 0.0]  # nobody assigns to it; seed kept
