@@ -802,6 +802,101 @@ def select_best_per_group(
     )
 
 
+def _dsir_bucket_rows(
+    docs: DataFrame,
+    target_expr: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """(id, _is_t, b): one row per hashed unigram/bigram feature. The
+    hash sits on the EXPLODED column, not inside an array ``transform``:
+    higher-order-function lambdas are interpreted per element (no
+    codegen), measured 4-6× slower than the identical md5 as a top-level
+    expression."""
+    # materialize the word array once (one project level per derived
+    # expression — repeated split/filter subtrees are not reliably CSE'd)
+    w0 = docs.select(
+        F.col(id_col),
+        F.expr(target_expr).alias("_is_t"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        ).alias("_w"),
+    )
+    # unigrams + adjacent bigrams; the sequence is guarded because
+    # sequence(1, 0) DESCENDS in Spark (DuckDB generate_series is empty)
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return w0.select(
+        F.col(id_col),
+        F.col("_is_t"),
+        F.explode(F.concat(F.col("_w"), bigrams)).alias("_ft"),
+    ).select(
+        id_col,
+        "_is_t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_ft"), F.lit("#" + salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+        .cast("int")
+        .alias("b"),
+    )
+
+
+def _dsir_lambda_from_hist(hist, n_buckets: int, alpha: float) -> list[float]:
+    import math
+
+    t_tot = float(sum(r["ct"] for r in hist))
+    r_tot = float(sum(r["cr"] for r in hist))
+    lam = [0.0] * n_buckets
+    for r in hist:
+        pt = (r["ct"] + alpha) / (t_tot + alpha * n_buckets)
+        pr = (r["cr"] + alpha) / (r_tot + alpha * n_buckets)
+        lam[r["b"]] = math.log(pt) - math.log(pr)
+    return lam
+
+
+def dsir_lambda_table(
+    docs: DataFrame,
+    target_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    salt: str = "dsir0",
+) -> list[float]:
+    """The trained DSIR artifact on its own: the ``n_buckets``-entry
+    log-ratio table λ[b] = ln p_target(b) − ln p_raw(b). Persist/ship
+    this (it is n_buckets doubles) and score any other corpus — or a
+    live stream (``streaming.stream_dsir_score``) — without touching
+    the training corpus again."""
+    ex = _dsir_bucket_rows(docs, target_expr, text_col, id_col, n_buckets, salt)
+    hist = (
+        ex.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        # ≤ n_buckets rows by construction — bounded driver collect
+        .collect()
+    )
+    return _dsir_lambda_from_hist(hist, n_buckets, alpha)
+
+
 def dsir_weights(
     docs: DataFrame,
     target_expr: str,
@@ -810,6 +905,7 @@ def dsir_weights(
     n_buckets: int = 256,
     alpha: float = 0.5,
     salt: str = "dsir0",
+    lam: list[float] | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, *Data Selection
     for Language Models via Importance Resampling*): score every doc by
@@ -833,66 +929,21 @@ def dsir_weights(
     per element (no codegen), measured 4× slower than the identical md5
     as a top-level expression. The md5 bucket hash keeps the structure
     engine-reproducible for the oracle (a production tier would swap in
-    xxhash64, same shape)."""
-    # materialize the word array once (one project level per derived
-    # expression — repeated split/filter subtrees are not reliably CSE'd)
-    w0 = docs.select(
-        F.col(id_col),
-        F.expr(target_expr).alias("_is_t"),
-        F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
-        ).alias("_w"),
-    )
-    # unigrams + adjacent bigrams; the sequence is guarded because
-    # sequence(1, 0) DESCENDS in Spark (DuckDB generate_series is empty)
-    bigrams = F.when(
-        F.size("_w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # explode FIRST, hash the flat string column in codegen
-    ex = w0.select(
-        F.col(id_col),
-        F.col("_is_t"),
-        F.explode(F.concat(F.col("_w"), bigrams)).alias("_ft"),
-    ).select(
-        id_col,
-        "_is_t",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("_ft"), F.lit("#" + salt))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % n_buckets
+    xxhash64, same shape). Pass a precomputed ``lam`` (from
+    ``dsir_lambda_table``, possibly trained on a DIFFERENT corpus) to
+    skip the histogram pass and score with a frozen table."""
+    ex = _dsir_bucket_rows(docs, target_expr, text_col, id_col, n_buckets, salt)
+    if lam is None:
+        hist = (
+            ex.groupBy("b")
+            .agg(
+                F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+                F.count("*").alias("cr"),
+            )
+            # ≤ n_buckets rows by construction — bounded driver collect
+            .collect()
         )
-        .cast("int")
-        .alias("b"),
-    )
-    hist = (
-        ex.groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
-            F.count("*").alias("cr"),
-        )
-        # ≤ n_buckets rows by construction — bounded driver collect
-        .collect()
-    )
-    t_tot = float(sum(r["ct"] for r in hist))
-    r_tot = float(sum(r["cr"] for r in hist))
-    lam = [0.0] * n_buckets
-    import math
-
-    for r in hist:
-        pt = (r["ct"] + alpha) / (t_tot + alpha * n_buckets)
-        pr = (r["cr"] + alpha) / (r_tot + alpha * n_buckets)
-        lam[r["b"]] = math.log(pt) - math.log(pr)
+        lam = _dsir_lambda_from_hist(hist, n_buckets, alpha)
     lam_lit = F.array(*[F.lit(x) for x in lam])
     return (
         ex.groupBy(id_col)

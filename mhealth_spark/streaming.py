@@ -595,3 +595,59 @@ def stream_anomaly(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dsir_score(
+    docs: DataFrame,
+    lam: list[float],
+    text_col: str = "text",
+    n_buckets: int = 256,
+    salt: str = "dsir0",
+    min_weight: float | None = None,
+) -> DataFrame:
+    """Streaming-ingest twin of ``corpus.dsir_weights``: score arriving
+    documents against a FROZEN DSIR log-ratio table (train once on a
+    static reference corpus via ``corpus.dsir_lambda_table``, ship the
+    n_buckets doubles). State-free and map-only — no watermark, no
+    shuffle, each microbatch scores independently — so it composes with
+    the other ingest-gate faces (decontaminate, exact dedup) in one
+    pass. An Arrow-vectorized pandas UDF re-derives the hashed
+    unigram+bigram buckets exactly as the batch op's exploded-codegen
+    path does (same md5 truncation, same modulus), pytest-proven equal
+    per document. ``min_weight`` turns the score into an ingest filter;
+    docs with no features score NULL and are dropped with a threshold,
+    kept without (parity with the batch op, which emits no row)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lam_v = list(map(float, lam))
+    tag = "#" + salt
+
+    @pandas_udf("struct<n_feats: long, dsir_weight: double>")
+    def score(texts: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None:
+                return (0, None)
+            w = [x for x in t.split() if x]
+            feats = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+            if not feats:
+                return (0, None)
+            s = 0.0
+            for ft in feats:
+                hx = hashlib.md5((ft + tag).encode()).hexdigest()[:8]
+                s += lam_v[int(hx, 16) % n_buckets]
+            return (len(feats), s / len(feats))
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(
+            {"n_feats": [r[0] for r in rows], "dsir_weight": [r[1] for r in rows]}
+        )
+
+    out = docs.withColumn("_s", score(F.col(text_col))).select(
+        "*", F.col("_s.n_feats").alias("n_feats"),
+        F.col("_s.dsir_weight").alias("dsir_weight"),
+    ).drop("_s")
+    if min_weight is not None:
+        out = out.filter(F.col("dsir_weight") >= min_weight)
+    return out

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -507,3 +508,56 @@ def test_stream_label_horizon_matches_batch(spark, tmp_path):
     b = batch[cols].sort_values(key).reset_index(drop=True)
     assert len(g) == len(b) > 0
     pd.testing.assert_frame_equal(g, b, check_dtype=False, atol=1e-9)
+
+
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """stream_dsir_score with a frozen lambda table must reproduce the
+    batch dsir_weights scores doc-for-doc (same buckets, same mean), and
+    min_weight must gate the stream exactly like a batch filter."""
+    from mhealth_spark.pipelines.corpus import dsir_lambda_table, dsir_weights
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_dsir_score
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    target = "source IN ('src0', 'src1')"
+    lam = dsir_lambda_table(docs, target)
+
+    batch = dsir_weights(docs, target, lam=lam).toPandas()
+    exp = batch.set_index("doc_id")
+
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_dsir_score(stream, lam)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dsir")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT doc_id, n_feats, dsir_weight FROM t_dsir"
+    ).toPandas().set_index("doc_id")
+    assert set(got.index) == set(exp.index)
+    g = got.loc[exp.index]
+    assert (g.n_feats == exp.n_feats).all()
+    np.testing.assert_allclose(
+        g.dsir_weight.values, exp.dsir_weight.values, atol=1e-9
+    )
+
+    thr = float(batch.dsir_weight.median())
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    q2 = (
+        stream_dsir_score(stream2, lam, min_weight=thr)
+        .writeStream.format("memory")
+        .queryName("t_dsir_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept = set(spark.sql("SELECT doc_id FROM t_dsir_gate").toPandas()["doc_id"])
+    assert kept == set(batch[batch.dsir_weight >= thr].doc_id)
