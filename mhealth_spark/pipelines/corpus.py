@@ -662,22 +662,30 @@ def build_corpus(
     text_col: str = "text",
     fuzzy_verify_threshold: float | None = None,
     span_dup_threshold: float | None = None,
+    dsir_target_expr: str | None = None,
+    dsir_min_weight: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """End-to-end corpus build — the whole pipeline in one call, in the
     canonical order a pretraining build runs it:
 
     1. quality filter (Gopher-family rules; ``quality_overrides``)
-    2. benchmark decontamination (if ``benchmark`` given)
-    3. exact dedup (normalized-text md5, min-id survivor)
-    4. fuzzy dedup (MinHash-LSH candidates → optional exact-Jaccard
+    2. DSIR selection (if ``dsir_target_expr`` AND ``dsir_min_weight``
+       given): keep docs whose importance weight vs the target
+       distribution clears the threshold — targeted selection runs
+       BEFORE dedup so duplicates can't distort the raw histogram's
+       doc-frequency balance any further than they distort any corpus
+       statistic (target docs themselves always survive this stage)
+    3. benchmark decontamination (if ``benchmark`` given)
+    4. exact dedup (normalized-text md5, min-id survivor)
+    5. fuzzy dedup (MinHash-LSH candidates → optional exact-Jaccard
        verify pass at ``fuzzy_verify_threshold`` → connected components
        → one survivor per cluster)
-    5. span dedup (if ``span_dup_threshold`` given): drop survivors
+    6. span dedup (if ``span_dup_threshold`` given): drop survivors
        whose cross-document duplicated-span fraction still exceeds the
        threshold — the boilerplate/template tail that document-level
        dedup keeps (each survivor IS unique as a whole document)
-    6. temperature sampling per source (if ``sample_alpha`` given)
-    7. train/val/test hash split (if ``split_weights`` given)
+    7. temperature sampling per source (if ``sample_alpha`` given)
+    8. train/val/test hash split (if ``split_weights`` given)
 
     Returns (final DataFrame, audit dict of per-stage surviving counts).
     The audit counts run one action per stage — acceptable for a batch
@@ -706,6 +714,14 @@ def build_corpus(
     keep = flags.filter("keep").select(id_col)
     cur = docs.join(keep, id_col, "left_semi")
     audit["after_quality"] = cur.count()
+
+    if dsir_target_expr is not None and dsir_min_weight is not None:
+        w = dsir_weights(cur, dsir_target_expr, text_col, id_col)
+        sel = w.filter(
+            F.col("is_target") | (F.col("dsir_weight") >= dsir_min_weight)
+        ).select(id_col)
+        cur = cur.join(sel, id_col, "left_semi")
+        audit["after_dsir"] = cur.count()
 
     if benchmark is not None:
         cur = decontaminate(cur, benchmark, text_col, id_col)

@@ -1541,3 +1541,34 @@ def test_lloyd_refine_matches_numpy_and_improves_objective(spark):
     seeds = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
     ref = lloyd_refine(tiny, seeds, n_iters=1)
     assert ref[2] == [-1.0, 0.0]  # nobody assigns to it; seed kept
+
+
+def test_build_corpus_dsir_stage(spark):
+    """build_corpus with the DSIR stage: target docs always survive it,
+    kept raw docs are exactly those whose weight clears the threshold at
+    the post-quality population, and the audit records the stage."""
+    from mhealth_spark.pipelines.corpus import build_corpus, dsir_weights
+    from mhealth_spark.pipelines.text import quality_filter
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    target = "source IN ('src0', 'src1')"
+    out, audit = build_corpus(
+        docs, dsir_target_expr=target, dsir_min_weight=0.0
+    )
+    assert "after_dsir" in audit
+    assert audit["after_dsir"] <= audit["after_quality"]
+
+    q = quality_filter(docs).filter("keep").select("doc_id")
+    base = docs.join(q, "doc_id", "left_semi")
+    w = dsir_weights(base, target).toPandas()
+    expected_pass = set(
+        w[(w.is_target) | (w.dsir_weight >= 0.0)].doc_id
+    )
+    surv = set(r.doc_id for r in out.select("doc_id").collect())
+    # later dedup stages only REMOVE docs; the dsir stage's audit count
+    # must match the expected pass set exactly
+    assert audit["after_dsir"] == len(expected_pass)
+    assert surv <= expected_pass
+    tgt = {r.doc_id for r in base.filter(target).select("doc_id").collect()}
+    assert tgt & expected_pass == tgt  # every target doc cleared the stage
