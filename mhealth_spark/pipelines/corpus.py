@@ -972,3 +972,55 @@ def dsir_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style document chunking: overlapping word windows of
+    ``window`` words every ``stride`` words — the retrieval-side twin of
+    sequence packing (packing joins docs INTO training rows; chunking
+    splits docs into index/embedding units). Chunk k covers words
+    [k·stride, k·stride + window); the last chunk is the remainder (every
+    word belongs to ≥1 chunk, consecutive chunks overlap by
+    window − stride words for boundary-straddling answers).
+
+    Output: (id, chunk_id, start_word, n_words, chunk_text). Pure map +
+    one explode — no shuffle; chunk counts are ⌈max(len−window,0)/stride⌉+1
+    per doc, so output size is corpus/stride-bounded. The chunk text is
+    materialized by ONE slice per chunk at explode time (not per-word
+    HOF work), and any hashing belongs downstream on the exploded column
+    (codegen), per the engine's HOF-interpreted-eval rule."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    staged = docs.select(F.col(id_col), w.alias("_w"))
+    n_chunks = (
+        F.ceil(F.greatest(F.size("_w") - window, F.lit(0)) / stride).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_id"),
+            (k * stride).cast("int").alias("start_word"),
+            F.slice(F.col("_w"), k * stride + F.lit(1), F.lit(window)).alias(
+                "cw"
+            ),
+        ),
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_word").alias("start_word"),
+            F.size("c.cw").cast("long").alias("n_words"),
+            F.concat_ws(" ", F.col("c.cw")).alias("chunk_text"),
+        )
+        .filter(F.col("n_words") > 0)
+    )

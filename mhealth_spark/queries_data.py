@@ -2509,3 +2509,42 @@ def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid_init").cast("int").alias("cid_init"),
         F.col("cid_refined").cast("int").alias("cid_refined"),
     )
+
+
+@register(
+    "corpus_chunk_windows",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    c0 AS (SELECT doc_id, w,
+                  CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT) + 1 AS nc
+           FROM d),
+    c1 AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(0, nc - 1),
+                         k -> {'chunk_id': k, 'start_word': k * 48,
+                               'cw': w[k*48+1 : k*48+64]})) AS c
+           FROM c0)
+    SELECT doc_id,
+           CAST(c.chunk_id AS INT) AS chunk_id,
+           CAST(c.start_word AS INT) AS start_word,
+           CAST(len(c.cw) AS BIGINT) AS n_words,
+           md5(array_to_string(c.cw, ' ')) AS chunk_fp
+    FROM c1 WHERE len(c.cw) > 0
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 64-word windows every 48 words (16-word
+    overlap), one slice per chunk at explode time, fingerprint hashed on
+    the exploded column in codegen. Pure map + explode, no shuffle."""
+    from mhealth_spark.pipelines.corpus import chunk_windows
+
+    out = chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_word").cast("int").alias("start_word"),
+        "n_words",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )

@@ -1572,3 +1572,29 @@ def test_build_corpus_dsir_stage(spark):
     assert surv <= expected_pass
     tgt = {r.doc_id for r in base.filter(target).select("doc_id").collect()}
     assert tgt & expected_pass == tgt  # every target doc cleared the stage
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Chunking invariants on crafted docs: every word is covered, chunks
+    overlap by window-stride, the tail chunk is the remainder, short docs
+    yield exactly one chunk, and word order is preserved."""
+    from mhealth_spark.pipelines.corpus import chunk_windows
+
+    text_long = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, text_long), (2, "a b c"), (3, " ".join(f"x{i}" for i in range(64)))],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=64, stride=48).toPandas()
+    g1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # ceil((150-64)/48)+1 = 3 chunks at starts 0, 48, 96
+    assert list(g1.start_word) == [0, 48, 96]
+    assert list(g1.n_words) == [64, 64, 54]
+    covered = set()
+    for r in g1.itertuples():
+        words = r.chunk_text.split()
+        assert words == [f"w{i}" for i in range(r.start_word, r.start_word + r.n_words)]
+        covered.update(range(r.start_word, r.start_word + r.n_words))
+    assert covered == set(range(150))
+    assert list(out[out.doc_id == 2].n_words) == [3]
+    assert list(out[out.doc_id == 3].n_words) == [64]  # exactly-window doc: 1 chunk
