@@ -2548,3 +2548,40 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         F.md5("chunk_text").alias("chunk_fp"),
     )
+
+
+@register(
+    "corpus_source_stats",
+    """
+    WITH d AS (SELECT doc_id, source,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    ex AS (SELECT doc_id, source, unnest(w) AS word FROM d)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT word) AS BIGINT) AS vocab,
+           round(count(DISTINCT word) / CAST(count(*) AS DOUBLE), 6)
+               AS type_token_ratio
+    FROM ex GROUP BY source
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation stats: docs, words, vocabulary size,
+    type-token ratio (low TTR flags templated/boilerplate-heavy
+    sources). One explode + a single groupBy with two-phase distinct
+    aggregates — Spark expands the multi-distinct into partial
+    aggregations; shuffle stays (source × vocab)-bounded, never a
+    per-source list."""
+    docs = _docs(spark, sf_dir)
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    ex = docs.select("doc_id", "source", F.explode(w).alias("word"))
+    return ex.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.count_distinct("word").cast("long").alias("vocab"),
+        F.round(
+            F.count_distinct("word") / F.count("*").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
