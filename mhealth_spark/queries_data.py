@@ -2209,9 +2209,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivfpq_adc",
-    """
+_ANN_IVFPQ_SQL = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       substring(md5(vec_id::VARCHAR || '#ivf0'), 1, 8) AS hx
                FROM embeddings),
@@ -2280,8 +2278,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_ivfpq_adc", _ANN_IVFPQ_SQL)
 def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (IVFADC): coarse inverted lists bound what a query TOUCHES
     (probe 4 of 16 lists via the cid equi-join), residual PQ codes bound
@@ -2584,4 +2584,40 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.count_distinct("word") / F.count("*").cast("double"), 6
         ).alias("type_token_ratio"),
+    )
+
+
+@register("ann_ivfpq_probe", _ANN_IVFPQ_SQL)
+def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving split: the PQ-encoded inverted file (vec_id, cid,
+    codes — M bytes of payload per vector) is WRITTEN partitioned by cid
+    and probed from disk, so a query batch's selective cid set reaches
+    the index scan as a dynamic partition filter and reads
+    n_probe/n_centroids of an index that is already ~d·4/M× smaller
+    than the raw vectors. Same oracle as ann_ivfpq_adc:
+    probe-of-persisted == fused."""
+    import hashlib
+    import os
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.pick_centroids(emb, 16)
+    res = similarity.ivfpq_residuals(emb, cents)
+    cb = similarity.pick_pq_codebooks(res, vec_col="r", salt="pqr0")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/mhealth_spark_ivfpq_index_{tag}"
+    # deterministic rebuild per sf_dir; at 100 TB this write happens once
+    # at ingest, not per query batch
+    similarity.ivfpq_encode(res, cb).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
+    enc = spark.read.parquet(path)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_ivfpq_adc(enc, cents, cb, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
     )

@@ -651,3 +651,111 @@ def stream_dsir_score(
     if min_weight is not None:
         out = out.filter(F.col("dsir_weight") >= min_weight)
     return out
+
+
+def stream_ann_serve(
+    queries: DataFrame,
+    encoded_rows: list,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming ANN serving over an in-memory IVF-PQ index: each
+    arriving query probes its ``n_probe`` coarse lists and ADC-scores
+    the candidates entirely inside an Arrow-vectorized pandas UDF — the
+    pattern real vector-serving uses (the PQ index lives in RAM on every
+    node; compressing d floats to M byte codes is exactly what makes
+    that possible: 10^9 vectors ≈ M GB + ids). State-free and map-only,
+    so it needs no watermark and composes with the other ingest faces;
+    per-query results are EXACTLY the batch ``ann_ivfpq_adc`` ranks
+    (same 9-dp LUT rounding, same tie rule), pytest-proven.
+
+    ``encoded_rows`` is the collected PQ index [(id, cid, codes), ...] —
+    at scale ship it via ``sparkContext.broadcast`` of the same triple
+    list (the sandbox passes it directly; the closure serializes it to
+    every executor either way). Emits one row per (query, rank)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)  # NC x d
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]  # M x (Ks x ds)
+    m_count = len(cb)
+    ds = cb[0].shape[1]
+    ids = np.asarray([r[0] for r in encoded_rows], dtype=np.int64)
+    cids = np.asarray([r[1] for r in encoded_rows], dtype=np.int64)
+    codes = np.asarray([r[2] for r in encoded_rows], dtype=np.int64)  # N x M
+    order = np.argsort(cids, kind="stable")
+    ids, cids, codes = ids[order], cids[order], codes[order]
+    list_bounds = np.searchsorted(cids, np.arange(len(cents) + 1))
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "array<struct<neighbor_id: long, adc_dist: double, rank: int>>"
+    )
+    def serve(qids: pd.Series, vecs: pd.Series) -> pd.Series:
+        out = []
+        for qid, v in zip(qids, vecs):
+            qv = np.asarray(v, dtype=np.float64)
+            cos = np.round(cents @ qv / (cnorm * np.linalg.norm(qv)), 9)
+            probed = sorted(range(len(cents)), key=lambda i: (-cos[i], i))[
+                :n_probe
+            ]
+            cand_ids, cand_adc = [], []
+            for cid in probed:
+                lo, hi = list_bounds[cid], list_bounds[cid + 1]
+                if lo == hi:
+                    continue
+                qr = qv - cents[cid]
+                lut = np.stack(
+                    [
+                        np.round(
+                            ((cb[m] - qr[m * ds : (m + 1) * ds]) ** 2).sum(
+                                axis=1
+                            ),
+                            9,
+                        )
+                        for m in range(m_count)
+                    ]
+                )  # M x Ks
+                sel = ids[lo:hi] != qid
+                c_codes = codes[lo:hi][sel]
+                # left-to-right accumulation, same order as the SQL fold
+                adc = np.zeros(len(c_codes))
+                for m in range(m_count):
+                    adc += lut[m][c_codes[:, m]]
+                cand_ids.append(ids[lo:hi][sel])
+                cand_adc.append(adc)
+            if not cand_ids:
+                out.append([])
+                continue
+            cand_ids = np.concatenate(cand_ids)
+            cand_adc = np.concatenate(cand_adc)
+            key = np.lexsort((cand_ids, np.round(cand_adc, 9)))[:k]
+            out.append(
+                [
+                    {
+                        "neighbor_id": int(cand_ids[j]),
+                        "adc_dist": float(cand_adc[j]),
+                        "rank": r + 1,
+                    }
+                    for r, j in enumerate(key)
+                ]
+            )
+        return pd.Series(out)
+
+    return (
+        queries.withColumn(
+            "_r", serve(F.col(query_id_col), F.col(vec_col))
+        )
+        .select(F.col(query_id_col), F.explode("_r").alias("n"))
+        .select(
+            query_id_col,
+            F.col("n.neighbor_id").alias("neighbor_id"),
+            F.col("n.adc_dist").alias("adc_dist"),
+            F.col("n.rank").alias("rank"),
+        )
+    )

@@ -1598,3 +1598,40 @@ def test_chunk_windows_coverage_and_overlap(spark):
     assert covered == set(range(150))
     assert list(out[out.doc_id == 2].n_words) == [3]
     assert list(out[out.doc_id == 3].n_words) == [64]  # exactly-window doc: 1 chunk
+
+
+def test_ivfpq_persisted_probe_matches_oneshot(spark, tmp_path):
+    """IVF-PQ serving split: the PQ-encoded inverted file written
+    partitioned by cid and probed from disk returns exactly the fused
+    result, and the probed scan carries a dynamic cid partition filter."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivfpq_adc,
+        ivfpq_encode,
+        ivfpq_residuals,
+        pick_centroids,
+        pick_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = pick_centroids(emb, 16)
+    res = ivfpq_residuals(emb, cents)
+    cb = pick_pq_codebooks(res, vec_col="r", salt="pqr0")
+    fused = ann_ivfpq_adc(ivfpq_encode(res, cb), cents, cb, queries, k=5, n_probe=4)
+
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_encode(res, cb).write.partitionBy("cid").parquet(path)
+    enc = spark.read.parquet(path)
+    probed = ann_ivfpq_adc(enc, cents, cb, queries, k=5, n_probe=4)
+
+    key = ["query_id", "neighbor_id", "rank"]
+    a = fused.toPandas().sort_values(key).reset_index(drop=True)
+    b = probed.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(
+        a["adc_dist"].to_numpy(), b["adc_dist"].to_numpy(), rtol=1e-9
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cid" in plan, plan

@@ -561,3 +561,59 @@ def test_stream_dsir_score_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     kept = set(spark.sql("SELECT doc_id FROM t_dsir_gate").toPandas()["doc_id"])
     assert kept == set(batch[batch.dsir_weight >= thr].doc_id)
+
+
+def test_stream_ann_serve_matches_batch(spark, tmp_path):
+    """stream_ann_serve (in-memory PQ index, per-query numpy ADC inside
+    a pandas UDF) must reproduce batch ann_ivfpq_adc rank-for-rank on a
+    streamed query set."""
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivfpq_adc,
+        ivfpq_encode,
+        ivfpq_residuals,
+        pick_centroids,
+        pick_pq_codebooks,
+    )
+    from mhealth_spark.streaming import stream_ann_serve
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pick_centroids(emb, 8)
+    res = ivfpq_residuals(emb, cents)
+    cb = pick_pq_codebooks(res, n_subspaces=8, n_codes=8, vec_col="r", salt="pqr0")
+    enc = ivfpq_encode(res, cb)
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exp = (
+        ann_ivfpq_adc(enc, cents, cb, queries, k=5, n_probe=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    rows = [(int(r["vec_id"]), int(r["cid"]), list(r["codes"]))
+            for r in enc.collect()]
+    qpath = str(tmp_path / "queries")
+    queries.write.parquet(qpath)
+    schema = spark.read.parquet(qpath).schema
+    stream = spark.readStream.schema(schema).parquet(qpath)
+    out = stream_ann_serve(stream, rows, cents, cb, k=5, n_probe=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ann_serve")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM t_ann_serve")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    key = ["query_id", "neighbor_id", "rank"]
+    pd.testing.assert_frame_equal(got[key], exp[key])
+    np.testing.assert_allclose(
+        got.adc_dist.values, exp.adc_dist.values, atol=1e-9
+    )
