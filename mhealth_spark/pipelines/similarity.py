@@ -773,3 +773,63 @@ def lloyd_refine(
         new = {int(r["cid"]): [float(x) for x in r["c"]] for r in rows}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_col: str = "source",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Embedding-space outlier detection — the data-quality face of the
+    centroid family: per vector, the cosine to its OWN group's centroid,
+    then a within-group z-score of that affinity; low-affinity outliers
+    flag mislabeled, off-domain, or corrupted documents before they
+    poison curation statistics.
+
+    Three bounded shuffles, corpus scanned twice: the |groups|×d
+    centroid aggregate (``source_centroids``), a broadcast join of the
+    tiny centroid table back onto the vectors for the per-vector cosine
+    (map-only after the broadcast), and one (group)-keyed aggregate for
+    the affinity mean/stddev — reused as a broadcast to the final
+    map-only z-score/flag projection. Population stddev (``stddev_pop``)
+    so the z-scores are engine-portable."""
+    cents = source_centroids(emb, docs, id_col, vec_col, by_col)
+    tagged = emb.join(
+        docs.select(F.col("doc_id").alias(id_col), by_col), id_col
+    ).select(
+        F.col(id_col),
+        F.col(by_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    scored = tagged.join(
+        F.broadcast(cents.select(by_col, "centroid")), by_col
+    ).select(
+        id_col,
+        by_col,
+        F.round(cosine_expr(F.col("v"), F.col("centroid")), 9).alias(
+            "centroid_cos"
+        ),
+    )
+    stats = scored.groupBy(by_col).agg(
+        F.avg("centroid_cos").alias("_mu"),
+        F.stddev_pop("centroid_cos").alias("_sd"),
+    )
+    return scored.join(F.broadcast(stats), by_col).select(
+        id_col,
+        by_col,
+        "centroid_cos",
+        F.when(
+            F.col("_sd") > 0,
+            (F.col("centroid_cos") - F.col("_mu")) / F.col("_sd"),
+        ).alias("affinity_z"),
+        (
+            (F.col("_sd") > 0)
+            & (
+                (F.col("centroid_cos") - F.col("_mu")) / F.col("_sd")
+                < -F.lit(z_threshold)
+            )
+        ).alias("is_outlier"),
+    )

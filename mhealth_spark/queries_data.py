@@ -2621,3 +2621,44 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adc_dist", 6).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "similarity_outliers",
+    """
+    WITH j AS (SELECT e.vec_id, d.source,
+                      list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+    ex AS (SELECT source, i - 1 AS dim, v[i] AS x
+           FROM j, unnest(generate_series(1, len(v))) AS t(i)),
+    cd AS (SELECT source, dim, avg(x) AS m FROM ex GROUP BY 1, 2),
+    cent AS (SELECT source, list(m ORDER BY dim) AS c FROM cd GROUP BY 1),
+    sc AS (SELECT j.vec_id, j.source,
+                  round(list_cosine_similarity(j.v, cent.c), 9) AS ccos
+           FROM j JOIN cent USING (source)),
+    st AS (SELECT source, avg(ccos) AS mu, stddev_pop(ccos) AS sd
+           FROM sc GROUP BY 1)
+    SELECT sc.vec_id, sc.source,
+           round(ccos, 6) AS centroid_cos,
+           round(CASE WHEN sd > 0 THEN (ccos - mu) / sd END, 6) AS affinity_z,
+           (sd > 0 AND (ccos - mu) / sd < -3.0) AS is_outlier
+    FROM sc JOIN st USING (source)
+    """,
+)
+def similarity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-vector cosine affinity to
+    its own source's centroid, within-source z-score, outlier flag at
+    z < -3 — the data-quality pass that catches mislabeled/off-domain
+    docs before curation statistics ingest them."""
+    from mhealth_spark.pipelines.similarity import embedding_outliers
+
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = embedding_outliers(emb, docs)
+    return out.select(
+        "vec_id",
+        "source",
+        F.round("centroid_cos", 6).alias("centroid_cos"),
+        F.round("affinity_z", 6).alias("affinity_z"),
+        "is_outlier",
+    )

@@ -1635,3 +1635,26 @@ def test_ivfpq_persisted_probe_matches_oneshot(spark, tmp_path):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression(cid" in plan, plan
+
+
+def test_embedding_outliers_planted(spark):
+    """A planted far-away vector inside one source must be flagged: its
+    affinity z-score is far below the bulk, and clean tight clusters
+    produce no flags."""
+    from mhealth_spark.pipelines.similarity import embedding_outliers
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(0, 0.05, 64) + np.eye(64)[0] * 5  # tight around e0
+    for i in range(40):
+        rows.append((i, (base + rng.normal(0, 0.05, 64)).tolist()))
+    rows.append((99, (-np.eye(64)[0] * 5).tolist()))  # planted opposite
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(i, "s0") for i, _ in rows], "doc_id long, source string"
+    )
+    out = embedding_outliers(emb, docs).toPandas().set_index("vec_id")
+    assert bool(out.loc[99].is_outlier)
+    assert out.loc[99].affinity_z < -3
+    clean = out.drop(99)
+    assert not clean.is_outlier.any()
