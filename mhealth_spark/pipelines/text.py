@@ -362,3 +362,29 @@ def pretokenize(
     return df.withColumn("pretokens", toks).withColumn(
         "n_pretokens", F.size("pretokens").cast("long")
     )
+
+
+def line_duplicate_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The boilerplate-line artifact on its own: (h, n_docs, first_id)
+    for every normalized line hash appearing in >= ``min_docs`` distinct
+    documents. Same two-phase count-distinct aggregate as ``line_dedup``;
+    persist it once per reference corpus and probe it from the streaming
+    ingest face (``streaming.stream_line_dedup``)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), line_sep)).alias("line"),
+    ).select(id_col, F.md5(F.lower(F.trim(F.col("line")))).alias("h"))
+    return (
+        lines.groupBy("h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("first_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -759,3 +759,62 @@ def stream_ann_serve(
             F.col("n.rank").alias("rank"),
         )
     )
+
+
+def stream_line_dedup(
+    docs: DataFrame,
+    dup_hashes: set,
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Streaming-ingest twin of ``text.line_dedup`` (drop-all mode):
+    strip boilerplate lines from arriving documents against a FROZEN
+    duplicated-line hash set (built once from a reference corpus via
+    ``text.line_duplicate_hashes`` — boilerplate sets are output-sized
+    and change slowly, the same freshness argument as the decontaminate
+    face's benchmark set). State-free, map-only pandas UDF: per doc,
+    split on ``line_sep``, drop lines whose md5(lower(trim(line))) is in
+    the set, rebuild the text in original order. Emits (…, n_lines,
+    n_kept, text_clean) exactly like the batch op, pytest-proven equal
+    doc-for-doc when the frozen set comes from the same corpus."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = docs.sparkSession.sparkContext.broadcast(set(dup_hashes))
+
+    @pandas_udf("struct<n_lines: long, n_kept: long, text_clean: string>")
+    def clean(texts: pd.Series) -> pd.DataFrame:
+        dset = bc.value
+
+        def one(t):
+            if t is None:
+                return (0, 0, "")
+            lines = t.split(line_sep)
+            kept = [
+                ln
+                for ln in lines
+                if hashlib.md5(ln.strip().lower().encode()).hexdigest()
+                not in dset
+            ]
+            return (len(lines), len(kept), line_sep.join(kept))
+
+        rows = [one(t) for t in texts]
+        return pd.DataFrame(
+            {
+                "n_lines": [r[0] for r in rows],
+                "n_kept": [r[1] for r in rows],
+                "text_clean": [r[2] for r in rows],
+            }
+        )
+
+    return (
+        docs.withColumn("_c", clean(F.col(text_col)))
+        .select(
+            "*",
+            F.col("_c.n_lines").alias("n_lines"),
+            F.col("_c.n_kept").alias("n_kept"),
+            F.col("_c.text_clean").alias("text_clean"),
+        )
+        .drop("_c")
+    )

@@ -617,3 +617,63 @@ def test_stream_ann_serve_matches_batch(spark, tmp_path):
     np.testing.assert_allclose(
         got.adc_dist.values, exp.adc_dist.values, atol=1e-9
     )
+
+
+def test_stream_line_dedup_matches_batch(spark, tmp_path):
+    """stream_line_dedup with a frozen duplicated-line set built from
+    the same corpus must equal batch line_dedup (drop-all) doc-for-doc:
+    same kept counts, same reconstructed text."""
+    from mhealth_spark.pipelines.text import line_dedup, line_duplicate_hashes
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_line_dedup
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    # wrap into deterministic 10-word lines so lines actually duplicate
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    wrapped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.ceil(F.size(w) / 10.0).cast("int"), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - F.lit(1)) * 10 + F.lit(1), F.lit(10))
+                ),
+            ),
+        ).alias("text"),
+    )
+    exp = (
+        line_dedup(wrapped)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    dset = {r.h for r in line_duplicate_hashes(wrapped).collect()}
+    assert dset, "expected some duplicated lines in the fixture"
+
+    path = str(tmp_path / "wrapped")
+    wrapped.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_line_dedup(stream, dset)
+        .select("doc_id", "n_lines", "n_kept", "text_clean")
+        .writeStream.format("memory")
+        .queryName("t_linededup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM t_linededup")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got.n_lines == exp.n_lines).all()
+    assert (got.n_kept == exp.n_kept).all()
+    assert (got.text_clean == exp.text_clean).all()
