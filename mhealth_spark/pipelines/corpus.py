@@ -1024,3 +1024,67 @@ def chunk_windows(
         )
         .filter(F.col("n_words") > 0)
     )
+
+
+def bigram_logprob_scores(
+    tokens: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_probs: bool = True,
+) -> DataFrame:
+    """Bigram-LM quality score — the perplexity-filter upgrade over
+    ``unigram_logprob_scores``: per doc, the mean conditional token
+    log-probability ``ln p(w_i | w_{i-1})`` under the corpus's own
+    add-``alpha`` bigram model, ``p(w|v) = (c(v,w)+α) / (c1(v)+α·V)``
+    with V the unigram vocabulary. Repetitive/boilerplate text scores
+    HIGH (predictable transitions), vocabulary-salad spam scores LOW —
+    the two-sided signal perplexity filters threshold on. Docs with a
+    single token have no bigrams and are dropped (no score).
+
+    Scale shape: bigrams are packed into ONE long (vocab < 2^32), so
+    every join key is a fixed-width integer. Counting is explode +
+    groupBy bounded by the DISTINCT-bigram vocabulary (map-side combine
+    collapses each partition to ≤|bigram vocab| rows); the probability
+    table is (pair, logp) and BROADCASTS to the scoring join when it
+    fits (``broadcast_probs=False`` switches to a shuffled join keyed on
+    the packed long for corpora whose bigram table outgrows the
+    broadcast budget); the final doc aggregate is the one corpus-sized
+    shuffle, with rows = docs after map-side combine."""
+    big = F.lit(4294967296)
+    t = F.col(tokens_col)
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: a.cast("long") * big + b.cast("long"),
+    )
+    ex = tokens.filter(n >= 2).select(
+        F.col(id_col), F.explode(pairs).alias("pair")
+    )
+    c2 = ex.groupBy("pair").agg(F.count("*").alias("c2"))
+    ex1 = tokens.select(F.explode(tokens_col).alias("tok"))
+    c1 = ex1.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = c1.count()  # one scalar — the smoothing denominator
+    # previous-token count keyed by the packed pair's high word; integer
+    # DIV, not float division — a*2^32+b approaches 2^63 and double
+    # division would lose low bits
+    probs = c2.withColumn("prev", F.expr("pair DIV 4294967296")).join(
+        c1.select(F.col("tok").cast("long").alias("prev"), "c1"), "prev"
+    ).select(
+        "pair",
+        F.log(
+            (F.col("c2") + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha * float(vocab)))
+        ).alias("logp"),
+    )
+    if broadcast_probs:
+        probs = F.broadcast(probs)
+    return (
+        ex.join(probs, "pair")
+        .groupBy(id_col)
+        .agg(
+            F.avg("logp").alias("mean_bigram_logprob"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )

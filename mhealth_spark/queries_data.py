@@ -2662,3 +2662,42 @@ def similarity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("affinity_z", 6).alias("affinity_z"),
         "is_outlier",
     )
+
+
+@register(
+    "corpus_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, tokens FROM {_TOKENS_DUCK}),
+    ex AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(tokens) - 1),
+                         i -> CAST(tokens[i] AS BIGINT) * 4294967296
+                            + CAST(tokens[i+1] AS BIGINT))) AS pair
+           FROM t WHERE len(tokens) >= 2),
+    c2 AS (SELECT pair, count(*) AS c2 FROM ex GROUP BY 1),
+    ex1 AS (SELECT unnest(tokens) AS tok FROM t),
+    c1 AS (SELECT tok, count(*) AS c1 FROM ex1 GROUP BY 1),
+    v AS (SELECT count(*) AS vocab FROM c1),
+    p AS (SELECT c2.pair,
+                 ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) AS logp
+          FROM c2
+          JOIN c1 ON c1.tok = c2.pair // 4294967296, v)
+    SELECT ex.doc_id,
+           round(avg(p.logp), 6) AS mean_bigram_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM ex JOIN p USING (pair)
+    GROUP BY 1
+    """,
+)
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: mean conditional token log-prob under
+    the corpus's own add-alpha bigram model. Pairs packed into one long
+    (fixed-width join keys); counting bounded by the bigram vocabulary;
+    probability table broadcast to the scoring join."""
+    from mhealth_spark.pipelines.corpus import bigram_logprob_scores
+
+    out = bigram_logprob_scores(_tokens(spark))
+    return out.select(
+        "doc_id",
+        F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
+        "n_bigrams",
+    )

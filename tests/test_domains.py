@@ -1658,3 +1658,29 @@ def test_embedding_outliers_planted(spark):
     assert out.loc[99].affinity_z < -3
     clean = out.drop(99)
     assert not clean.is_outlier.any()
+
+
+def test_bigram_logprob_semantics(spark):
+    """Crafted-corpus semantics: a doc whose transitions repeat the
+    corpus's dominant pattern outscores a doc with unique transitions;
+    single-token docs emit no row; shuffled-join tier equals broadcast."""
+    from mhealth_spark.pipelines.corpus import bigram_logprob_scores
+
+    rows = (
+        [(i, [1, 2, 1, 2, 1, 2]) for i in range(10)]  # dominant pattern
+        + [(100, [7, 8, 9, 10, 11, 12])]              # unique transitions
+        + [(200, [5])]                                # no bigrams
+    )
+    toks = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = bigram_logprob_scores(toks).toPandas().set_index("doc_id")
+    assert 200 not in out.index
+    assert out.loc[0].mean_bigram_logprob > out.loc[100].mean_bigram_logprob
+    assert out.loc[0].n_bigrams == 5
+
+    shuffled = (
+        bigram_logprob_scores(toks, broadcast_probs=False)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out.sort_index(), shuffled)
