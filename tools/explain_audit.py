@@ -101,6 +101,41 @@ AUDIT = {
         requires=["(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"],
         forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
     ),
+    # IVF-PQ serving: candidates form by the broadcast probe equi-join on
+    # cid — never a cartesian over the encoded index (flat ann_pq_adc is
+    # the deliberate full-scan tier and is excluded here)
+    "ann_ivfpq_adc": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_dsir_weights": dict(
+        requires=["HashAggregate"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "text_line_dedup": dict(
+        requires=["HashAggregate"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_bigram_logprob": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "similarity_outliers": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_chunk_windows": dict(
+        requires=["Generate"],  # the explode; pure map otherwise
+        forbids=[
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+            # chunking itself must not shuffle on a key; the only
+            # Exchange allowed is _docs' round-robin split of the
+            # single-row-group testdata parquet
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+        ],
+    ),
 }
 
 
