@@ -2701,3 +2701,46 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
         "n_bigrams",
     )
+
+
+@register(
+    "corpus_quality_quantiles",
+    f"""
+    WITH ex AS (SELECT doc_id, unnest(tokens) AS token FROM {_TOKENS_DUCK}),
+    c AS (SELECT token, count(*) AS c FROM ex GROUP BY 1),
+    t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+    p AS (SELECT token, ln((c + 0.5) / (total + 0.5 * vocab)) AS logp
+          FROM c, t),
+    sc AS (SELECT ex.doc_id, avg(p.logp) AS s
+           FROM ex JOIN p USING (token) GROUP BY 1),
+    j AS (SELECT d.source, sc.s
+          FROM sc JOIN {_TOKENS_DUCK} d ON d.doc_id = sc.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(s, 0.1), 6) AS p10,
+           round(quantile_cont(s, 0.5), 6) AS p50,
+           round(quantile_cont(s, 0.9), 6) AS p90
+    FROM j GROUP BY source
+    """,
+)
+def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT quantiles of the unigram-LM quality score — the
+    adaptive-threshold tier: filters set per-domain cutoffs from these
+    instead of one global constant (domains differ in intrinsic
+    perplexity). Spark's exact `percentile` and DuckDB's quantile_cont
+    share linear interpolation bit-for-bit (verified); the aggregate
+    shuffles score rows once on the source key. At 100 TB swap in
+    percentile_approx with a documented error bound — same plan shape."""
+    from mhealth_spark.pipelines.corpus import unigram_logprob_scores
+
+    toks = _tokens(spark)
+    scores = unigram_logprob_scores(toks).select(
+        "doc_id", F.col("mean_logprob").alias("s")
+    )
+    j = scores.join(toks.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(s, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90"),
+    )
