@@ -9,7 +9,7 @@ Two hash tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
 
@@ -388,3 +388,67 @@ def line_duplicate_hashes(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003
+    — the MOSS algorithm): from the sequence of word ``k``-gram hashes,
+    every window of ``w`` consecutive hashes contributes its RIGHTMOST
+    MINIMUM; the distinct selected (pos, hash) pairs are the document's
+    fingerprint sketch. Density ≈ 2/(w+1) of all grams, with the
+    guarantee that any shared run of ≥ w+k−1 words between two documents
+    shares at least one fingerprint — local, position-robust near-dup
+    detection (insertions shift positions but not local minima).
+
+    Engine-portable rightmost-min: each gram encodes one sortable key
+    ``h || '#' || lpad(10^9 − pos)`` — a windowed ``min`` over it picks
+    the smallest hash and, on ties, the LARGEST position, in one
+    aggregate that Spark and any SQL engine evaluate identically (no
+    struct-min or nested-window gymnastics). One explode + one
+    (doc)-keyed window + distinct; hashing happens on the exploded
+    column in codegen."""
+    grams = _gram_strings(words_col(text_col), k)
+    rows = (
+        docs.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+        .filter(F.col("gram") != F.lit(""))
+        .select(
+            id_col,
+            "pos",
+            F.md5("gram").alias("h"),
+        )
+    )
+    key = F.concat(
+        F.col("h"),
+        F.lit("#"),
+        F.lpad((F.lit(1_000_000_000) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = Window.partitionBy(id_col)
+    staged = rows.select(
+        id_col,
+        "pos",
+        key.alias("_key"),
+        F.count("*").over(n_grams).alias("_n"),
+    ).withColumn("_sel", F.min("_key").over(win))
+    # only full windows select (pos <= n-w); short docs keep window 0
+    sel = staged.filter(
+        (F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0)
+    ).select(
+        id_col,
+        F.substring(F.col("_sel"), 1, 32).alias("h"),
+        (
+            F.lit(1_000_000_000)
+            - F.substring(F.col("_sel"), 34, 10).cast("long")
+        ).cast("int").alias("pos"),
+    )
+    return sel.distinct()

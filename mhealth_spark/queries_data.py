@@ -2744,3 +2744,43 @@ def corpus_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(s, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(s, 0.9)"), 6).alias("p90"),
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(w) - 4, 1)),
+                     i -> {'pos': i - 1,
+                           'gram': array_to_string(w[i:i+4], ' ')})) AS t
+          FROM d),
+    l AS (SELECT doc_id, CAST(t.pos AS INT) AS pos, md5(t.gram) AS h
+          FROM g WHERE t.gram <> ''),
+    k AS (SELECT doc_id, pos,
+                 h || '#' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
+                     AS key,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM l),
+    s AS (SELECT doc_id, pos, n,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM k)
+    SELECT DISTINCT doc_id,
+           substring(sel, 1, 32) AS h,
+           CAST(1000000000 - CAST(substring(sel, 34, 10) AS BIGINT) AS INT)
+               AS pos
+    FROM s WHERE pos <= n - 4 OR pos = 0
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: rightmost minimum of each
+    4-window of word 5-gram hashes via one engine-portable encoded sort
+    key; density ~2/(w+1) with the shared-run detection guarantee."""
+    from mhealth_spark.pipelines.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)

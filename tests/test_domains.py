@@ -1684,3 +1684,40 @@ def test_bigram_logprob_semantics(spark):
         .sort_index()
     )
     pd.testing.assert_frame_equal(out.sort_index(), shuffled)
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing guarantees: two docs sharing a >= w+k-1 word run share
+    at least one fingerprint HASH (even when an insertion shifts all
+    positions), and selection density is ~2/(w+1) on random text."""
+    from mhealth_spark.pipelines.text import winnow_fingerprints
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+
+    def rand_words(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    shared = rand_words(40)  # >= w+k-1 = 8 guaranteed-detection run
+    doc_a = rand_words(60) + shared + rand_words(60)
+    doc_b = rand_words(31) + shared + rand_words(44)  # different offset
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(doc_a)),
+            (2, " ".join(doc_b)),
+            (3, " ".join(rand_words(160))),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4).toPandas()
+    h1 = set(fp[fp.doc_id == 1].h)
+    h2 = set(fp[fp.doc_id == 2].h)
+    h3 = set(fp[fp.doc_id == 3].h)
+    assert h1 & h2, "planted shared run must share a fingerprint"
+    assert not (h1 & h3) or len(h1 & h3) < len(h1 & h2)
+
+    # density on the unrelated doc: ~2/(w+1)=0.4 of its 156 grams,
+    # generous band for randomness
+    n_grams3 = 160 - 4
+    density = len(fp[fp.doc_id == 3]) / n_grams3
+    assert 0.2 < density < 0.6, density
