@@ -1105,3 +1105,48 @@ def semantic_keep(
         labeled.withColumn("keep", F.row_number().over(w) == 1)
         .select("id", "cid", "ccos", "group_id", "keep")
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared WINNOWING fingerprints —
+    the detection half of the MOSS sketch: docs sharing >= ``min_shared``
+    selected fingerprint hashes are candidates, at ~2/(w+1) of the cost
+    of the full inverted-index Jaccard (the sketch replaces the shingle
+    universe). Same scale guards as ``ngram_jaccard_pairs``: the
+    ``max_doc_freq`` stop-fingerprint cap bounds the per-hash join
+    fan-out before the self-join, so a boilerplate fingerprint shared by
+    a million docs costs a filter, not a 10^12 pair explosion. Output
+    counts shared distinct hashes per (id_a < id_b) pair."""
+    from mhealth_spark.pipelines.text import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, k, w, id_col, text_col).select(
+        id_col, "h"
+    ).distinct()
+    if max_doc_freq is not None:
+        dfreq = fp.groupBy("h").agg(F.count("*").alias("_df"))
+        fp = fp.join(
+            dfreq.filter(F.col("_df") <= max_doc_freq), "h"
+        ).select(id_col, "h")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2784,3 +2784,47 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.text import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+@register(
+    "dedup_winnow_pairs",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  w -> w <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(w) - 4, 1)),
+                     i -> {'pos': i - 1,
+                           'gram': array_to_string(w[i:i+4], ' ')})) AS t
+          FROM d),
+    l AS (SELECT doc_id, CAST(t.pos AS INT) AS pos, md5(t.gram) AS h
+          FROM g WHERE t.gram <> ''),
+    kk AS (SELECT doc_id, pos,
+                  h || '#' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
+                      AS key,
+                  count(*) OVER (PARTITION BY doc_id) AS n
+           FROM l),
+    s AS (SELECT doc_id, pos, n,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+          FROM kk),
+    fp AS (SELECT DISTINCT doc_id, substring(sel, 1, 32) AS h
+           FROM s WHERE pos <= n - 4 OR pos = 0),
+    capped AS (SELECT fp.doc_id, fp.h
+               FROM fp JOIN (SELECT h, count(*) AS df FROM fp GROUP BY 1) f
+                 ON f.h = fp.h AND f.df <= 64)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS detection: candidate pairs sharing >= 2 winnowing
+    fingerprints, with the stop-fingerprint DF cap bounding per-hash
+    join fan-out before the self-join."""
+    from mhealth_spark.pipelines.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir))
