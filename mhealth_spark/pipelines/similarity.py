@@ -796,7 +796,13 @@ def embedding_outliers(
     the affinity mean/stddev — reused as a broadcast to the final
     map-only z-score/flag projection. Population stddev (``stddev_pop``)
     so the z-scores are engine-portable."""
-    cents = source_centroids(emb, docs, id_col, vec_col, by_col)
+    cents = source_centroids(emb, docs, id_col, vec_col, by_col).select(
+        by_col,
+        # 12-dp centroid snap: the per-dim avg is the one place engines
+        # can disagree at ~1e-16 (summation order); snapping both sides
+        # to 12 dp keeps the downstream rounded cosine boundary-stable
+        F.transform("centroid", lambda x: F.round(x, 12)).alias("centroid"),
+    )
     tagged = emb.join(
         docs.select(F.col("doc_id").alias(id_col), by_col), id_col
     ).select(

@@ -2631,15 +2631,21 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
     ex AS (SELECT source, i - 1 AS dim, v[i] AS x
            FROM j, unnest(generate_series(1, len(v))) AS t(i)),
-    cd AS (SELECT source, dim, avg(x) AS m FROM ex GROUP BY 1, 2),
+    cd AS (SELECT source, dim, round(avg(x), 12) AS m FROM ex GROUP BY 1, 2),
     cent AS (SELECT source, list(m ORDER BY dim) AS c FROM cd GROUP BY 1),
     sc AS (SELECT j.vec_id, j.source,
-                  round(list_cosine_similarity(j.v, cent.c), 9) AS ccos
+                  round(
+                    list_sum(list_transform(generate_series(1, len(j.v)),
+                             i -> j.v[i] * cent.c[i]))
+                    / (sqrt(list_sum(list_transform(generate_series(1, len(j.v)),
+                              i -> j.v[i] * j.v[i])))
+                       * sqrt(list_sum(list_transform(generate_series(1, len(cent.c)),
+                              i -> cent.c[i] * cent.c[i])))), 9) AS ccos
            FROM j JOIN cent USING (source)),
     st AS (SELECT source, avg(ccos) AS mu, stddev_pop(ccos) AS sd
            FROM sc GROUP BY 1)
     SELECT sc.vec_id, sc.source,
-           round(ccos, 6) AS centroid_cos,
+           ccos AS centroid_cos,
            round(CASE WHEN sd > 0 THEN (ccos - mu) / sd END, 6) AS affinity_z,
            (sd > 0 AND (ccos - mu) / sd < -3.0) AS is_outlier
     FROM sc JOIN st USING (source)
@@ -2655,10 +2661,14 @@ def similarity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     out = embedding_outliers(emb, docs)
+    # centroid_cos is already the 9-dp-rounded fold value, bit-identical
+    # in both engines; re-rounding a 9-dp decimal to 6 dp lands on exact
+    # .5 boundaries where Spark's BigDecimal HALF_UP and a float-path
+    # round() disagree by 1 ulp — so it is emitted as-is
     return out.select(
         "vec_id",
         "source",
-        F.round("centroid_cos", 6).alias("centroid_cos"),
+        "centroid_cos",
         F.round("affinity_z", 6).alias("affinity_z"),
         "is_outlier",
     )
