@@ -2174,7 +2174,8 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (q.v[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
       FROM q, generate_series(0, 7) m(m), cbrows),
     adc AS (
-      SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d) AS adc
+      SELECT l.query_id, b.vec_id AS neighbor_id,
+             sum(l.d ORDER BY l.m) AS adc
       FROM best b JOIN lut l ON l.m = b.m AND l.j = b.j
       WHERE b.rk = 1 AND b.vec_id <> l.query_id
       GROUP BY 1, 2),
@@ -2183,7 +2184,7 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id
                  ORDER BY round(adc, 9) ASC, neighbor_id) AS rank
       FROM adc)
-    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+    SELECT query_id, neighbor_id, adc AS adc_dist,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
     """,
@@ -2204,7 +2205,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("adc_dist", 6).alias("adc_dist"),
+        "adc_dist",
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -2264,7 +2265,8 @@ _ANN_IVFPQ_SQL = """
                       * (s.qr[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
       FROM qres s, generate_series(0, 7) m(m), cbrows),
     adc AS (
-      SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d) AS adc
+      SELECT l.query_id, b.vec_id AS neighbor_id,
+             sum(l.d ORDER BY l.m) AS adc
       FROM best b
       JOIN assign a ON a.vec_id = b.vec_id
       JOIN lut l ON l.cid = a.cid AND l.m = b.m AND l.j = b.j
@@ -2275,7 +2277,7 @@ _ANN_IVFPQ_SQL = """
              row_number() OVER (PARTITION BY query_id
                  ORDER BY round(adc, 9) ASC, neighbor_id) AS rank
       FROM adc)
-    SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+    SELECT query_id, neighbor_id, adc AS adc_dist,
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
     """
@@ -2303,7 +2305,7 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("adc_dist", 6).alias("adc_dist"),
+        "adc_dist",
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -2618,7 +2620,7 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("adc_dist", 6).alias("adc_dist"),
+        "adc_dist",
         F.col("rank").cast("int").alias("rank"),
     )
 
