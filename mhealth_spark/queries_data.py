@@ -5,7 +5,7 @@ QUERIES/ORACLES registry as the core operators (see queries.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from mhealth_spark.pipelines import dedup, multimodal, similarity, text
 from mhealth_spark.queries import register
@@ -2840,3 +2840,49 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.dedup import winnow_pairs
 
     return winnow_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 4, 1)),
+                     i -> array_to_string(w[i:i+4], ' ')))) AS gram
+          FROM d),
+    c AS (SELECT gram, count(*) AS doc_freq FROM g WHERE gram <> ''
+          GROUP BY 1),
+    r AS (SELECT gram, doc_freq,
+                 row_number() OVER (ORDER BY doc_freq DESC, gram) AS rk
+          FROM c)
+    SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 50
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 50 word 5-grams appearing in the most
+    documents — the candidate list a template-stripping pass (or the
+    span/line dedup min_docs threshold) is tuned from. Distinct shingles
+    per doc (doc frequency, not raw count), one vocab-bounded groupBy,
+    then a top-k window over the AGGREGATED frame only. At 100 TB the
+    global rank runs on the collapsed (gram, doc_freq) table — orders of
+    magnitude smaller than the corpus; ties break lexically so the
+    ranking is total."""
+    from mhealth_spark.pipelines.text import shingles_col
+
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id", F.explode(shingles_col("text", 5)).alias("gram")
+    ).filter(F.col("gram") != "")
+    c = g.groupBy("gram").agg(F.count("*").cast("long").alias("doc_freq"))
+    # top-k via orderBy().limit() — per-partition top-n + one small
+    # reduce (TakeOrderedAndProject), NOT a global single-partition
+    # window over the full gram table; the rank window then runs over
+    # the 50 surviving rows only
+    top = c.orderBy(F.col("doc_freq").desc(), "gram").limit(50)
+    w = Window.orderBy(F.col("doc_freq").desc(), "gram")
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "gram", "doc_freq", "rk"
+    )
