@@ -223,8 +223,12 @@ def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
     they run unchanged on a streaming DataFrame and must agree row-for-row
     with the batch result — the property that lets one filtering codebase
     serve both the bulk corpus build and the live ingestion path."""
-    from mhealth_spark.pipelines.corpus import split_corpus
-    from mhealth_spark.pipelines.text import quality_filter, redact_pii
+    from mhealth_spark.pipelines.corpus import chunk_windows, split_corpus
+    from mhealth_spark.pipelines.text import (
+        pretokenize,
+        quality_filter,
+        redact_pii,
+    )
     from mhealth_spark.source import read_table
 
     docs = read_table(spark, "documents", "/root/testdata/sf0.001")
@@ -237,6 +241,10 @@ def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
         .select("doc_id", "split"),
         "s_qf": lambda d: quality_filter(d),
         "s_pii": lambda d: redact_pii(d).select("doc_id", "n_pii_redacted"),
+        "s_chunk": lambda d: chunk_windows(d).select(
+            "doc_id", "chunk_id", "start_word", "n_words"
+        ),
+        "s_pretok": lambda d: pretokenize(d).select("doc_id", "n_pretokens"),
     }
     for name, fn in cases.items():
         batch = fn(spark.read.parquet(path)).toPandas()
