@@ -1031,7 +1031,7 @@ def bigram_logprob_scores(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     alpha: float = 0.5,
-    broadcast_probs: bool = True,
+    broadcast_probs: bool = False,
 ) -> DataFrame:
     """Bigram-LM quality score — the perplexity-filter upgrade over
     ``unigram_logprob_scores``: per doc, the mean conditional token
@@ -1043,14 +1043,15 @@ def bigram_logprob_scores(
     single token have no bigrams and are dropped (no score).
 
     Scale shape: bigrams are packed into ONE long (vocab < 2^32), so
-    every join key is a fixed-width integer. Counting is explode +
-    groupBy bounded by the DISTINCT-bigram vocabulary (map-side combine
-    collapses each partition to ≤|bigram vocab| rows); the probability
-    table is (pair, logp) and BROADCASTS to the scoring join when it
-    fits (``broadcast_probs=False`` switches to a shuffled join keyed on
-    the packed long for corpora whose bigram table outgrows the
-    broadcast budget); the final doc aggregate is the one corpus-sized
-    shuffle, with rows = docs after map-side combine."""
+    every join key is a fixed-width integer. Unlike the unigram table,
+    the DISTINCT-bigram table is NOT small — on diverse text nearly
+    every bigram is unique (measured 1.567M distinct of 1.57M instances
+    on the synth corpus), so the probability join defaults to a
+    SHUFFLED join on the packed long (measured 2.5× faster than
+    broadcasting the corpus-sized table; both sides hash-partition on
+    ``pair``, so the count exchange is reusable). ``broadcast_probs=True``
+    opts back in for genuinely small-vocabulary corpora. The final doc
+    aggregate shuffles rows = docs after map-side combine."""
     big = F.lit(4294967296)
     t = F.col(tokens_col)
     n = F.size(t)
