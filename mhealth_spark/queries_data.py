@@ -2798,9 +2798,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 
 
-@register(
-    "dedup_winnow_pairs",
-    """
+_WINNOW_PAIRS_SQL = """
     WITH d AS (SELECT doc_id,
                       list_filter(string_split_regex(text, '\\s+'),
                                   w -> w <> '') AS w
@@ -2831,8 +2829,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_shared
     FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 2
-    """,
-)
+    """
+
+
+@register("dedup_winnow_pairs", _WINNOW_PAIRS_SQL)
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS detection: candidate pairs sharing >= 2 winnowing
     fingerprints, with the stop-fingerprint DF cap bounding per-hash
@@ -2886,3 +2886,29 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
         "gram", "doc_freq", "rk"
     )
+
+
+@register(
+    "dedup_winnow_components",
+    f"""
+    WITH RECURSIVE wp AS ({_WINNOW_PAIRS_SQL}),
+    e AS (SELECT id_a AS a, id_b AS b FROM wp
+          UNION SELECT id_b, id_a FROM wp),
+    walk(node, reach) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT w.node, e.b FROM walk w JOIN e ON w.reach = e.a)
+    SELECT node AS doc_id, min(reach) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete MOSS dedup chain: winnowing sketch -> shared-
+    fingerprint pairs -> connected components (iterative min-label
+    propagation vs the DuckDB recursive-CTE transitive closure). The
+    pair graph is sketch-derived, so the clustering input is already
+    ~2/(w+1) the size of a full-shingle pair graph."""
+    from mhealth_spark.pipelines.dedup import neardup_components, winnow_pairs
+
+    pairs = winnow_pairs(_docs(spark, sf_dir)).select("id_a", "id_b")
+    return neardup_components(pairs)
