@@ -818,3 +818,75 @@ def stream_line_dedup(
         )
         .drop("_c")
     )
+
+
+def stream_winnow_match(
+    docs: DataFrame,
+    index_hashes: set,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    min_matches: int = 2,
+) -> DataFrame:
+    """Streaming-ingest face of the MOSS chain: flag arriving documents
+    whose winnowing sketch overlaps a FROZEN reference fingerprint index
+    (built once via ``text.winnow_fingerprints`` over the protected
+    corpus — benchmark sets, licensed text, already-ingested data).
+    State-free map-only pandas UDF re-deriving the batch selection
+    exactly: k-gram md5s, rightmost-minimum per w-window via the same
+    (hash, −pos) ordering, distinct selected hashes intersected with the
+    broadcast index. Emits n_fingerprints, n_matched, and a flag at
+    ``min_matches`` — the ingest twin of ``dedup_winnow_pairs``'s
+    pairing rule, pytest-proven to match the batch sketch per doc."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    bc = docs.sparkSession.sparkContext.broadcast(set(index_hashes))
+
+    @pandas_udf("struct<n_fingerprints: int, n_matched: int>")
+    def match(texts: pd.Series) -> pd.DataFrame:
+        idx = bc.value
+
+        def sketch(t):
+            if t is None:
+                return set()
+            words = [x for x in t.split() if x]
+            if not words:
+                return set()
+            if len(words) < k:
+                grams = [" ".join(words)]
+            else:
+                grams = [
+                    " ".join(words[i : i + k])
+                    for i in range(len(words) - k + 1)
+                ]
+            hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+            n = len(hs)
+            sel = set()
+            for p in range(max(n - w + 1, 1)):
+                win = hs[p : p + w]
+                # rightmost minimum: min hash, largest position on ties
+                m = min(win)
+                rpos = max(i for i, h in enumerate(win) if h == m)
+                sel.add(hs[p + rpos])
+            return sel
+
+        rows = [(lambda s_: (len(s_), len(s_ & idx)))(sketch(t)) for t in texts]
+        return pd.DataFrame(
+            {
+                "n_fingerprints": [r[0] for r in rows],
+                "n_matched": [r[1] for r in rows],
+            }
+        )
+
+    return (
+        docs.withColumn("_m", match(F.col(text_col)))
+        .select(
+            "*",
+            F.col("_m.n_fingerprints").alias("n_fingerprints"),
+            F.col("_m.n_matched").alias("n_matched"),
+        )
+        .drop("_m")
+        .withColumn("winnow_flagged", F.col("n_matched") >= min_matches)
+    )

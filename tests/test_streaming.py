@@ -685,3 +685,63 @@ def test_stream_line_dedup_matches_batch(spark, tmp_path):
     assert (got.n_lines == exp.n_lines).all()
     assert (got.n_kept == exp.n_kept).all()
     assert (got.text_clean == exp.text_clean).all()
+
+
+def test_stream_winnow_match_parity_and_flags(spark, tmp_path):
+    """Streaming MOSS matching: the python-side sketch must equal the
+    batch winnow_fingerprints sketch per doc — streaming a corpus
+    against its OWN batch-built index matches every fingerprint, with
+    per-doc counts equal to the batch distinct-hash counts; unrelated
+    text flags zero."""
+    from mhealth_spark.pipelines.text import winnow_fingerprints
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_winnow_match
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    fp = winnow_fingerprints(docs, k=5, w=4).toPandas()
+    index = set(fp.h)
+    exp_counts = fp.groupby("doc_id").h.nunique()
+
+    path = str(tmp_path / "docs_wm")
+    docs.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_winnow_match(stream, index, k=5, w=4)
+        .select("doc_id", "n_fingerprints", "n_matched", "winnow_flagged")
+        .writeStream.format("memory")
+        .queryName("t_winnow_match")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM t_winnow_match").toPandas().set_index("doc_id")
+    )
+    assert (got.n_matched == got.n_fingerprints).all()
+    g = got.n_fingerprints.loc[exp_counts.index]
+    assert (g == exp_counts).all()
+    # docs with a single-fingerprint sketch can't reach min_matches=2
+    assert got[got.n_fingerprints >= 2].winnow_flagged.all()
+
+    # unrelated vocabulary: zero matches, not flagged
+    alien = spark.createDataFrame(
+        [(999, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")],
+        "doc_id long, text string",
+    )
+    apath = str(tmp_path / "alien")
+    alien.write.parquet(apath)
+    s2 = spark.readStream.schema(spark.read.parquet(apath).schema).parquet(apath)
+    q2 = (
+        stream_winnow_match(s2, index, k=5, w=4)
+        .select("doc_id", "n_matched", "winnow_flagged")
+        .writeStream.format("memory")
+        .queryName("t_winnow_alien")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    a = spark.sql("SELECT * FROM t_winnow_alien").toPandas()
+    assert (a.n_matched == 0).all() and not a.winnow_flagged.any()
