@@ -2912,3 +2912,116 @@ def dedup_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = winnow_pairs(_docs(spark, sf_dir)).select("id_a", "id_b")
     return neardup_components(pairs)
+
+
+@register(
+    "ann_ivfpq_refined",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      substring(md5(vec_id::VARCHAR || '#ivf0'), 1, 8) AS hx
+               FROM embeddings),
+    cent0 AS (SELECT row_number() OVER (ORDER BY hx, vec_id) - 1 AS cid, v
+              FROM e ORDER BY hx, vec_id LIMIT 16),
+    a0 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent0 c) WHERE rn = 1),
+    dims AS (
+      SELECT a0.cid, u.dim, avg(a0.v[u.dim]) AS mu
+      FROM a0, (SELECT unnest(generate_series(1, 64)) AS dim) u
+      GROUP BY 1, 2),
+    cent AS (SELECT cid, list(mu ORDER BY dim) AS v FROM dims GROUP BY cid),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, 64),
+                            i -> a.v[i] - c.v[i]) AS r
+      FROM assign a JOIN cent c USING (cid)),
+    cbrows AS (
+      SELECT row_number() OVER (
+                 ORDER BY substring(md5(vec_id::VARCHAR || '#pqr1'), 1, 8),
+                          vec_id) - 1 AS j, r AS cv
+      FROM res
+      ORDER BY substring(md5(vec_id::VARCHAR || '#pqr1'), 1, 8), vec_id
+      LIMIT 16),
+    dists AS (
+      SELECT res.vec_id, m.m, cbrows.j,
+             round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (res.r[m.m * 8 + i] - cbrows.cv[m.m * 8 + i])
+                      * (res.r[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
+      FROM res, generate_series(0, 7) m(m), cbrows),
+    best AS (
+      SELECT vec_id, m, j, d,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk
+      FROM dists),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 20),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY round(list_cosine_similarity(q.v, c.v), 9) DESC,
+                           c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 4),
+    qres AS (
+      SELECT p.query_id, p.cid,
+             list_transform(generate_series(1, 64),
+                            i -> p.qv[i] - c.v[i]) AS qr
+      FROM probes p JOIN cent c USING (cid)),
+    lut AS (
+      SELECT s.query_id, s.cid, m.m, cbrows.j,
+             round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (s.qr[m.m * 8 + i] - cbrows.cv[m.m * 8 + i])
+                      * (s.qr[m.m * 8 + i] - cbrows.cv[m.m * 8 + i]))), 9) AS d
+      FROM qres s, generate_series(0, 7) m(m), cbrows),
+    adc AS (
+      SELECT l.query_id, b.vec_id AS neighbor_id,
+             sum(l.d ORDER BY l.m) AS adc
+      FROM best b
+      JOIN assign a ON a.vec_id = b.vec_id
+      JOIN lut l ON l.cid = a.cid AND l.m = b.m AND l.j = b.j
+      WHERE b.rk = 1 AND b.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(adc, 9) ASC, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, neighbor_id, adc AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully TRAINED production index: one Lloyd iteration refines
+    the coarse quantizer (lloyd_refine), then residual PQ codebooks are
+    hash-seeded from the refined residual frame (salt pqr1 — a distinct
+    draw from the unrefined tier) and serving runs the standard IVFADC
+    probe. Composes ann_kmeans_refine + ann_ivfpq_adc end-to-end; the
+    oracle re-derives the entire trained pipeline in SQL."""
+    from mhealth_spark.pipelines import similarity as sim
+
+    emb = _emb(spark, sf_dir)
+    cents0 = sim.pick_centroids(emb, 16)
+    cents = sim.lloyd_refine(emb, cents0, n_iters=1)
+    res = sim.ivfpq_residuals(emb, cents)
+    cb = sim.pick_pq_codebooks(res, vec_col="r", salt="pqr1")
+    enc = sim.ivfpq_encode(res, cb)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ann_ivfpq_adc(enc, cents, cb, queries, k=5, n_probe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist",
+        F.col("rank").cast("int").alias("rank"),
+    )
