@@ -1721,3 +1721,38 @@ def test_winnow_guarantee_and_density(spark):
     n_grams3 = 160 - 4
     density = len(fp[fp.doc_id == 3]) / n_grams3
     assert 0.2 < density < 0.6, density
+
+
+def test_line_dedup_shuffled_fallback_identical(spark):
+    """line_dedup's shuffled-join fallback (broadcast_dups=False) must
+    return the identical frame in both modes."""
+    from mhealth_spark.pipelines.text import line_dedup
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    wrapped = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.ceil(F.size(w) / 10.0).cast("int"), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - F.lit(1)) * 10 + F.lit(1), F.lit(10))
+                ),
+            ),
+        ).alias("text"),
+    )
+    for kf in (False, True):
+        a = (
+            line_dedup(wrapped, keep_first=kf, broadcast_dups=True)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            line_dedup(wrapped, keep_first=kf, broadcast_dups=False)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
