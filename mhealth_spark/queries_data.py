@@ -3025,3 +3025,70 @@ def ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_dist",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "corpus_pack_efficiency",
+    f"""
+    WITH t AS (SELECT doc_id, source, ts, n_tok FROM {_TOKENS_DUCK}),
+    c AS (SELECT doc_id, source, n_tok,
+                 COALESCE(sum(n_tok) OVER (PARTITION BY source
+                          ORDER BY ts, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS prev_cum
+          FROM t),
+    p AS (SELECT source, CAST(floor(prev_cum / 2048) AS BIGINT) AS pack_id,
+                 sum(n_tok) AS fill, count(*) AS n_docs
+          FROM c GROUP BY 1, 2),
+    lastpack AS (SELECT source, max(pack_id) AS last_id FROM p GROUP BY 1)
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(p.fill) AS BIGINT) AS total_tokens,
+           CAST(sum(p.n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.pack_id <> l.last_id
+                         AND p.fill < 2048
+                    THEN 2048 - p.fill ELSE 0 END) AS BIGINT)
+               AS underfill_tokens,
+           CAST(sum(CASE WHEN p.fill > 2048
+                    THEN p.fill - 2048 ELSE 0 END) AS BIGINT)
+               AS overflow_tokens
+    FROM p JOIN lastpack l USING (source)
+    GROUP BY 1
+    """,
+)
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per source: pack counts, total tokens,
+    underfill (non-final packs short of the budget — padding a
+    concat-and-cut pipeline would burn) and overflow (the chunked
+    packer's documented may-overflow-by-one-doc slack). The numbers
+    that decide between the chunked and strict-greedy packers for a
+    given corpus. Two bounded aggregates over the pack assignment —
+    packs, then sources."""
+    from mhealth_spark.pipelines.corpus import pack_sequences_chunked
+
+    toks = _tokens(spark)
+    packs = (
+        pack_sequences_chunked(toks, budget=2048)
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tok").alias("fill"), F.count("*").alias("n_docs"))
+    )
+    last = packs.groupBy("source").agg(F.max("pack_id").alias("last_id"))
+    return (
+        packs.join(last, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_packs"),
+            F.sum("fill").cast("long").alias("total_tokens"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("pack_id") != F.col("last_id"))
+                    & (F.col("fill") < 2048),
+                    2048 - F.col("fill"),
+                ).otherwise(0)
+            ).cast("long").alias("underfill_tokens"),
+            F.sum(
+                F.when(F.col("fill") > 2048, F.col("fill") - 2048).otherwise(0)
+            ).cast("long").alias("overflow_tokens"),
+        )
+    )
