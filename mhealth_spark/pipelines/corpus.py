@@ -1089,3 +1089,36 @@ def bigram_logprob_scores(
             F.count("*").cast("long").alias("n_bigrams"),
         )
     )
+
+
+def contamination_provenance(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Decontamination PROVENANCE: per (corpus doc, benchmark doc) pair,
+    how many distinct n-gram shingles they share — the audit trail that
+    tells you WHICH eval item leaked into which training document
+    (``contamination_hits`` only says how much). Same scale shape: the
+    benchmark's (bench_id, shingle) table is eval-suite-sized and
+    broadcasts; the corpus probes it map-side and the pair aggregate is
+    bounded by actual contamination, not the corpus."""
+    from mhealth_spark.pipelines.text import shingles_col
+
+    d_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("g"),
+    )
+    b_sh = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingles_col(text_col, n)).alias("g"),
+    ).distinct()
+    return (
+        d_sh.join(F.broadcast(b_sh), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

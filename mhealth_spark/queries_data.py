@@ -3092,3 +3092,32 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overflow_tokens"),
         )
     )
+
+
+@register(
+    "corpus_contamination_provenance",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM d WHERE len(w) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM ex
+              WHERE doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, g FROM ex WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id, b.bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (g)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_contamination_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination provenance: (corpus doc, benchmark doc, shared
+    shingles) — which eval item leaked into which training doc. The
+    benchmark (bench_id, shingle) table broadcasts; pair aggregate
+    bounded by actual contamination."""
+    from mhealth_spark.pipelines.corpus import contamination_provenance
+
+    docs = _docs(spark, sf_dir)
+    return contamination_provenance(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
