@@ -3121,3 +3121,148 @@ def corpus_contamination_provenance(spark: SparkSession, sf_dir: str) -> DataFra
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (pipelines/bpe.py). Runs on a 256-vocab variant
+# of the synthetic tokens table so adjacent pairs actually repeat.
+# ---------------------------------------------------------------------------
+_BPE_PARQUET = "/root/repo/.synth_cache/tokens_n3000_seed42_v256.parquet"
+_BPE_DUCK = f"read_parquet('{_BPE_PARQUET}/*.parquet')"
+_BPE_NEW_ID = 256  # first fresh id above the 256-token vocab
+
+
+def _bpe_tokens(spark: SparkSession) -> DataFrame:
+    from mhealth_spark.synth import materialize_synth_tokens
+
+    path = materialize_synth_tokens(spark, 3000, seed=42, vocab=256)
+    # same single-row-group reshuffle rationale as _docs
+    return spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _bpe_apply_sql(src: str, top: str, out: str, new_id: int, k: int) -> str:
+    """One BPE merge-apply step as DuckDB CTEs: greedy left-to-right
+    non-overlap selection via gaps-and-islands run parity (a run of
+    consecutive match positions alternates select/skip from its head —
+    exactly the greedy scan's choice)."""
+    return f"""
+    e{k} AS (SELECT doc_id, j, tokens[j] AS v,
+                    COALESCE(tokens[j] = (SELECT a FROM {top})
+                             AND tokens[j+1] = (SELECT b FROM {top}),
+                             FALSE) AS m
+             FROM {src},
+                  LATERAL (SELECT unnest(generate_series(1, len(tokens))) AS j)),
+    g{k} AS (SELECT *, count(*) FILTER (WHERE NOT m)
+                        OVER (PARTITION BY doc_id ORDER BY j) AS grp
+             FROM e{k}),
+    x{k} AS (SELECT *, CASE WHEN m THEN
+                    (row_number() OVER (PARTITION BY doc_id, grp, m ORDER BY j)
+                     % 2 = 1)
+                  ELSE FALSE END AS sel
+             FROM g{k}),
+    p{k} AS (SELECT doc_id, j,
+                    CASE WHEN sel THEN {new_id} ELSE v END AS v2,
+                    lag(sel, 1, FALSE)
+                        OVER (PARTITION BY doc_id ORDER BY j) AS prev_sel
+             FROM x{k}),
+    {out} AS (SELECT doc_id, list(CAST(v2 AS INT) ORDER BY j) AS tokens
+              FROM p{k} WHERE NOT prev_sel GROUP BY doc_id)"""
+
+
+def _bpe_count_sql(src: str, cte: str, k: int) -> str:
+    return f"""
+    pc{k} AS (SELECT tokens[j] AS a, tokens[j+1] AS b,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM {src},
+                   LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1))
+                            AS j)
+              WHERE len(tokens) >= 2 GROUP BY 1, 2),
+    {cte} AS (SELECT CAST(a AS INT) AS a, CAST(b AS INT) AS b, cnt
+              FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1)"""
+
+
+def _bpe_learn_sql(n_steps: int, start_id: int) -> str:
+    parts = [f"s1 AS (SELECT doc_id, tokens FROM {_BPE_DUCK})"]
+    finals = []
+    for k in range(1, n_steps + 1):
+        nid = start_id + k - 1
+        parts.append(_bpe_count_sql(f"s{k}", f"top{k}", k))
+        parts.append(_bpe_apply_sql(f"s{k}", f"top{k}", f"s{k + 1}", nid, k))
+        finals.append(
+            f"SELECT {k} AS step, a, b, {nid} AS new_id, cnt FROM top{k}"
+        )
+    union = " UNION ALL ".join(finals)
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT CAST(step AS INT) AS step, a, b,"
+        f" CAST(new_id AS INT) AS new_id, cnt FROM ({union}) ORDER BY step"
+    )
+
+
+@register(
+    "corpus_bpe_top_pairs",
+    f"""
+    WITH t AS (SELECT tokens FROM {_BPE_DUCK}),
+    p AS (SELECT tokens[j] AS a, tokens[j+1] AS b
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(tokens) - 1))
+                           AS j)
+          WHERE len(tokens) >= 2),
+    c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY a, b)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank,
+           CAST(a AS INT) AS a, CAST(b AS INT) AS b, cnt
+    FROM c ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def corpus_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates over the 256-vocab tokens table:
+    packed-long pair explode, map-side-combined count, totally ordered
+    argmax (cnt DESC, a, b) so ranks are layout-independent."""
+    from mhealth_spark.pipelines import bpe
+
+    return bpe.top_pairs(_bpe_tokens(spark), 20)
+
+
+@register(
+    "corpus_bpe_merge_apply",
+    "WITH s1 AS (SELECT doc_id, tokens FROM " + _BPE_DUCK + "),"
+    + _bpe_count_sql("s1", "top1", 1)
+    + ","
+    + _bpe_apply_sql("s1", "top1", "o1", _BPE_NEW_ID, 1)
+    + """
+    SELECT s1.doc_id, CAST(len(s1.tokens) AS INT) AS n_before,
+           CAST(len(o1.tokens) AS INT) AS n_after, o1.tokens
+    FROM s1 JOIN o1 USING (doc_id)
+    """,
+)
+def corpus_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-wide BPE merge: argmax pair (one-row collect after
+    partial agg) then the zero-shuffle greedy rewrite; full token-array
+    parity vs the oracle's window-parity formulation."""
+    from mhealth_spark.pipelines import bpe
+
+    base = _bpe_tokens(spark).withColumn(
+        "n_before", F.size("tokens").cast("int")
+    )
+    top = bpe.top_pairs(base, 1).collect()[0]
+    out = bpe.apply_merge(base, top["a"], top["b"], _BPE_NEW_ID)
+    return out.select(
+        "doc_id",
+        "n_before",
+        F.size("tokens").cast("int").alias("n_after"),
+        "tokens",
+    )
+
+
+@register("corpus_bpe_learn", _bpe_learn_sql(3, _BPE_NEW_ID))
+def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of the BPE training loop (count -> argmax -> greedy
+    apply); returns the learned merge table. The oracle replays the
+    identical loop as three generated CTE stages."""
+    from mhealth_spark.pipelines import bpe
+
+    merges, _ = bpe.learn_bpe(_bpe_tokens(spark), 3, _BPE_NEW_ID)
+    return spark.createDataFrame(
+        merges, "step int, a int, b int, new_id int, cnt long"
+    )

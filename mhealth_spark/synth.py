@@ -96,19 +96,25 @@ def materialize_synth_tokens(
     n_docs: int = 3000,
     seed: int = 42,
     cache_dir: str = TOKENS_CACHE_DIR,
+    vocab: int = 50_000,
 ) -> str:
     """Write ``synth_tokens(n_docs, seed)`` to parquet once (atomic rename)
     and return the directory path. Both the Spark queries and their DuckDB
     oracles read THIS file, so the window/as-of feature queries over the
     tokens table get full value-level oracle checks instead of rows-only
-    (the xxhash64 generator itself has no DuckDB equivalent)."""
+    (the xxhash64 generator itself has no DuckDB equivalent).
+
+    ``vocab`` != default gets its own cache file — the BPE queries use a
+    256-token vocabulary so adjacent pairs actually repeat (mean pair
+    count ~23 at n_docs=3000 vs ~1 at vocab=50k)."""
     import os
 
-    path = os.path.join(cache_dir, f"tokens_n{n_docs}_seed{seed}.parquet")
+    suffix = "" if vocab == 50_000 else f"_v{vocab}"
+    path = os.path.join(cache_dir, f"tokens_n{n_docs}_seed{seed}{suffix}.parquet")
     if not os.path.isdir(path):
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + f".tmp-{os.getpid()}"
-        synth_tokens(spark, n_docs, seed=seed).coalesce(1).write.mode(
+        synth_tokens(spark, n_docs, seed=seed, vocab=vocab).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
