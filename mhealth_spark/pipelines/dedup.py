@@ -15,7 +15,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from mhealth_spark.pipelines.text import shingles_col, words_col
 
@@ -1149,4 +1149,113 @@ def winnow_pairs(
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    boundary_hex: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """Content-defined chunk table: ``(id, chunk_id, chunk_hash, n_words)``.
+
+    A chunk boundary falls AFTER word ``i`` when the md5 of the trailing
+    ``window``-word shingle starts with one of ``boundary_hex`` (rate =
+    len/16 -> mean chunk ~ 16/len words). Boundaries depend only on
+    LOCAL content, so an insertion early in a document shifts every
+    fixed n-gram span but CDC chunking resynchronizes at the next
+    boundary — the property rsync/LBFS-style dedup is built on, and what
+    ``span_exact_*`` (fixed stride) cannot give.
+
+    Shape: posexplode words -> per-doc window (``collect_list`` over the
+    trailing ``window`` rows) -> md5 as a TOP-LEVEL codegen expression
+    (never inside a HOF lambda — the DSIR lesson) -> boundary counts via
+    a strictly-preceding running sum -> one groupBy(doc, chunk) rebuild.
+    The only corpus-wide shuffle keys on (id, chunk hash) pairs.
+    """
+    w = Window.partitionBy(id_col).orderBy("i")
+    trail = w.rowsBetween(-(window - 1), 0)
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    ex = docs.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("i", "word")
+    )
+    sh = ex.withColumn(
+        "_win", F.array_join(F.collect_list("word").over(trail), "\x1f")
+    )
+    bnd = sh.withColumn(
+        "_b",
+        (F.col("i") >= window - 1)
+        & F.substring(F.md5("_win"), 1, 1).isin(*boundary_hex),
+    ).withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(F.col("_b").cast("int")).over(before), F.lit(0)
+        ).cast("int"),
+    )
+    return (
+        bnd.groupBy(id_col, "chunk_id")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "word"))).alias("_ws"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("_ws"), lambda s: s["word"]), "\x1f"
+                )
+            ).alias("chunk_hash"),
+            F.size("_ws").cast("int").alias("n_words"),
+        )
+    )
+
+
+def cdc_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    boundary_hex: tuple[str, ...] = ("0",),
+) -> DataFrame:
+    """Per-doc CDC dedup stats: how much of each document is made of
+    chunks that also occur in ANOTHER document. ``(id, n_chunks,
+    n_dup_chunks, n_words, n_dup_words, dup_word_ratio)``."""
+    ch = cdc_chunks(docs, id_col, text_col, window, boundary_hex)
+    # chunk hashes seen in >= 2 distinct docs; distinct-per-doc first so
+    # a doc repeating its own chunk does not self-mark
+    shared = (
+        ch.select("chunk_hash", id_col)
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_hash")
+    )
+    marked = ch.join(F.broadcast(shared), "chunk_hash", "left_semi").select(
+        id_col, "chunk_id", "n_words"
+    )
+    per_doc = ch.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("n_words").cast("long").alias("n_words"),
+    )
+    dup = marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_chunks"),
+        F.sum("n_words").cast("long").alias("n_dup_words"),
+    )
+    return (
+        per_doc.join(dup, id_col, "left")
+        .fillna(0, ["n_dup_chunks", "n_dup_words"])
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            "n_words",
+            "n_dup_words",
+            F.round(F.col("n_dup_words") / F.col("n_words"), 6).alias(
+                "dup_word_ratio"
+            ),
+        )
     )

@@ -3266,3 +3266,81 @@ def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, a int, b int, new_id int, cnt long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (pipelines/dedup.py cdc_*)
+# ---------------------------------------------------------------------------
+_CDC_SQL = f"""
+    d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    cex AS (SELECT doc_id, j - 1 AS i, w[j] AS word
+            FROM d, LATERAL (SELECT unnest(generate_series(1, len(w))) AS j)
+            WHERE len(w) >= 1),
+    csh AS (SELECT *, array_to_string(list(word) OVER
+                (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), chr(31)) AS win
+            FROM cex),
+    cbn AS (SELECT *, (i >= 3 AND substring(md5(win), 1, 1) = '0') AS b
+            FROM csh),
+    cck AS (SELECT *, COALESCE(CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER
+                (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT),
+                0) AS chunk_id
+            FROM cbn),
+    chunks AS (SELECT doc_id, chunk_id,
+                      md5(string_agg(word, chr(31) ORDER BY i)) AS chunk_hash,
+                      CAST(count(*) AS INT) AS n_words
+               FROM cck GROUP BY doc_id, chunk_id)"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"WITH {_CDC_SQL} SELECT doc_id, chunk_id, chunk_hash, n_words FROM chunks",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk table: boundaries from the md5 of the
+    trailing 4-word shingle (rate 1/16), so chunking resynchronizes
+    after insertions — the rsync/LBFS property fixed-stride spans lack."""
+    from mhealth_spark.pipelines.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cdc_stats",
+    f"""
+    WITH {_CDC_SQL},
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(n_words) AS BIGINT) AS n_words
+                FROM chunks GROUP BY doc_id),
+    shared AS (SELECT chunk_hash
+               FROM (SELECT DISTINCT chunk_hash, doc_id FROM chunks)
+               GROUP BY chunk_hash HAVING count(*) >= 2),
+    dup AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(c.n_words) AS BIGINT) AS n_dup_words
+            FROM chunks c JOIN shared USING (chunk_hash)
+            GROUP BY c.doc_id)
+    SELECT p.doc_id, p.n_chunks, COALESCE(d.n_dup_chunks, 0) AS n_dup_chunks,
+           p.n_words, COALESCE(d.n_dup_words, 0) AS n_dup_words,
+           CAST((COALESCE(d.n_dup_words, 0) * 1000000) // p.n_words
+                AS BIGINT) AS dup_ppm
+    FROM per_doc p LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def dedup_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc CDC dedup coverage: words living in chunks that occur in
+    another document. dup_ppm is exact integer parts-per-million (floor
+    division) — no float rounding to diverge cross-engine."""
+    from mhealth_spark.pipelines.dedup import cdc_dup_stats
+
+    out = cdc_dup_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        "n_words",
+        "n_dup_words",
+        F.expr("CAST((n_dup_words * 1000000) DIV n_words AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+    )

@@ -101,3 +101,53 @@ def test_learn_bpe_stops_when_dry(spark):
     merges, final = bpe.learn_bpe(df, 5, 100)
     assert merges == []
     assert final.select(F.col("tokens")).collect()[0][0] == [1, 2, 3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking (lives here to reuse the session fixture; see
+# pipelines/dedup.py cdc_chunks)
+# ---------------------------------------------------------------------------
+def _mk_text(rng, n):
+    return " ".join(f"w{rng.randrange(200)}" for _ in range(n))
+
+
+def test_cdc_chunks_reconstruct(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, _mk_text(rng, rng.randrange(30, 200))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from mhealth_spark.pipelines.dedup import cdc_chunks
+
+    ch = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        got = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # chunk ids contiguous from 0; word counts cover the doc exactly
+        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        assert sum(r["n_words"] for r in got) == len(text.split())
+
+
+def test_cdc_shift_resilience(spark):
+    import random
+
+    rng = random.Random(13)
+    base = _mk_text(rng, 400)
+    shifted = "INSERTED " + base  # one-word insertion at the head
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id int, text string"
+    )
+    from mhealth_spark.pipelines.dedup import cdc_chunks, cdc_dup_stats
+
+    ch = cdc_chunks(df).collect()
+    h0 = {r["chunk_hash"] for r in ch if r["doc_id"] == 0}
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    # boundaries resync after the first boundary -> almost all chunks
+    # shared despite every fixed-stride span being shifted
+    shared = h0 & h1
+    assert len(shared) >= max(len(h0) - 2, 1), (len(h0), len(shared))
+    stats = {r["doc_id"]: r for r in cdc_dup_stats(df).collect()}
+    assert stats[0]["dup_word_ratio"] > 0.9
+    assert stats[1]["n_dup_chunks"] >= len(shared)
