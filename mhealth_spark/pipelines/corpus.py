@@ -1122,3 +1122,42 @@ def contamination_provenance(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-source duplicate-content matrix ``(src_a, src_b,
+    n_shared)`` — how many distinct document texts each pair of sources
+    shares. The mirror-detection / double-counting audit a mixture
+    designer reads before setting sampling weights (a source that is 40%
+    a mirror of another should not get independent budget).
+
+    Scale shape: one md5 per doc (codegen), distinct on (hash, source)
+    with map-side combine, then ONE row per distinct hash carrying its
+    sorted source set (<= n_sources elements); in-row pair expansion via
+    the nested transform/slice pattern (no self-join — the same
+    no-recompute rationale as the LSH bucket expansion). Output is
+    bounded by C(n_sources, 2)."""
+    hs = docs.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(source_col).alias("src")
+    ).distinct()
+    sets = hs.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("ss"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ss"), i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

@@ -3344,3 +3344,22 @@ def dedup_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ppm"
         ),
     )
+
+
+@register(
+    "corpus_source_overlap",
+    """
+    WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate matrix: distinct shared texts per source
+    pair, via one row per content hash + in-row pair expansion (no
+    self-join)."""
+    from mhealth_spark.pipelines.corpus import source_overlap
+
+    return source_overlap(_docs(spark, sf_dir))

@@ -1756,3 +1756,27 @@ def test_line_dedup_shuffled_fallback_identical(spark):
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_source_overlap_matrix(spark):
+    from mhealth_spark.pipelines.corpus import source_overlap
+
+    rows = [
+        (0, "alpha beta", "web"),
+        (1, "alpha beta", "books"),   # shared web<->books
+        (2, "alpha beta", "code"),    # three-way: each pair counts once
+        (3, "gamma", "web"),
+        (4, "gamma", "books"),        # second web<->books text
+        (5, "delta", "web"),          # unshared
+        (6, "alpha beta", "web"),     # same text twice in web: still 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap(df).collect()
+    }
+    assert got == {
+        ("books", "web"): 2,
+        ("books", "code"): 1,
+        ("code", "web"): 1,
+    }
