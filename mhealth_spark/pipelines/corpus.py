@@ -1161,3 +1161,55 @@ def source_overlap(
         .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def ngram_diversity(
+    tokens: DataFrame,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    pack_base: int = 1 << 20,
+) -> DataFrame:
+    """Per-source token-trigram diversity: total trigrams, distinct
+    trigrams, and exact distinct-ppm — the self-repetition audit over
+    the pre-tokenized table (low diversity flags templated/boilerplate
+    sources before they flood a mixture; the token-level twin of the
+    word-level ``source_curation_stats``).
+
+    Trigrams pack into ONE long via two shifted-slice ``zip_with`` steps
+    (no per-position subarray slices — the n-gram no-CSE lesson), so
+    the distinct pass shuffles fixed-width integers only: distinct on
+    (source, packed) with map-side combine, then a count per source.
+    ``pack_base`` must exceed the vocab size; base^3 must stay under
+    2^63 (default 2^20 -> 2^60)."""
+    V = F.lit(pack_base)
+    t = F.col(tokens_col)
+    n = F.size(t)
+    m = n - 2  # trigram count per doc
+    p12 = F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: a.cast("long") * V + b.cast("long"),
+    )
+    p123 = F.zip_with(
+        p12, F.slice(t, 3, m), lambda p, c: p * V + c.cast("long")
+    )
+    ex = tokens.filter(n >= 3).select(
+        F.col(source_col).alias("source"), F.explode(p123).alias("g")
+    )
+    totals = ex.groupBy("source").agg(F.count("*").cast("long").alias("n_ngrams"))
+    distinct = (
+        ex.distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_distinct"))
+    )
+    return (
+        totals.join(distinct, "source")
+        .select(
+            "source",
+            "n_ngrams",
+            "n_distinct",
+            F.expr("CAST((n_distinct * 1000000) DIV n_ngrams AS BIGINT)").alias(
+                "distinct_ppm"
+            ),
+        )
+    )

@@ -3363,3 +3363,29 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.corpus import source_overlap
 
     return source_overlap(_docs(spark, sf_dir))
+
+
+@register(
+    "tokens_ngram_diversity",
+    f"""
+    WITH t AS (SELECT source, tokens FROM {_TOKENS_DUCK} WHERE len(tokens) >= 3),
+    ex AS (SELECT source,
+                  CAST(tokens[j] AS BIGINT) * 1099511627776
+                  + CAST(tokens[j+1] AS BIGINT) * 1048576
+                  + CAST(tokens[j+2] AS BIGINT) AS g
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(tokens) - 2))
+                            AS j))
+    SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST((count(DISTINCT g) * 1000000) // count(*) AS BIGINT)
+               AS distinct_ppm
+    FROM ex GROUP BY source
+    """,
+)
+def tokens_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trigram diversity over the tokens table: packed-long
+    trigrams (2^40/2^20 place values = the oracle's constants), exact
+    distinct via map-side-combined two-stage aggregation."""
+    from mhealth_spark.pipelines.corpus import ngram_diversity
+
+    return ngram_diversity(_tokens(spark))

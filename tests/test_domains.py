@@ -1780,3 +1780,19 @@ def test_source_overlap_matrix(spark):
         ("books", "code"): 1,
         ("code", "web"): 1,
     }
+
+
+def test_tokens_ngram_diversity_values(spark):
+    from mhealth_spark.pipelines.corpus import ngram_diversity
+
+    rows = [
+        ("d0", [1, 2, 3, 1, 2, 3], "rep"),   # trigrams: 123,231,312,123 -> 4 total, 3 distinct
+        ("d1", [1, 2, 3, 4, 5], "div"),      # 3 total, all distinct
+        ("d2", [7, 7], "div"),               # too short: no trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    got = {r["source"]: r for r in ngram_diversity(df).collect()}
+    assert got["rep"]["n_ngrams"] == 4 and got["rep"]["n_distinct"] == 3
+    assert got["rep"]["distinct_ppm"] == 750000
+    assert got["div"]["n_ngrams"] == 3 and got["div"]["n_distinct"] == 3
+    assert got["div"]["distinct_ppm"] == 1000000
