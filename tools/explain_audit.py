@@ -136,6 +136,42 @@ AUDIT = {
             "Exchange rangepartitioning",
         ],
     ),
+    # round-4 additions
+    "corpus_bpe_top_pairs": dict(
+        # packed-pair explode + partial-agg'd count + global top-k; the
+        # argmax must be TakeOrderedAndProject, never a full sort
+        requires=["Generate", "HashAggregate", "TakeOrderedAndProject"],
+        forbids=["Join", "CartesianProduct", "Sort \\["],
+    ),
+    "corpus_bpe_merge_apply": dict(
+        # the greedy rewrite is a narrow map: no join, no key shuffle
+        # (the only Exchange is _bpe_tokens' round-robin split)
+        forbids=[
+            "Join",
+            "CartesianProduct",
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+        ],
+    ),
+    "dedup_cdc_chunks": dict(
+        # per-doc window then one chunk-rebuild aggregate; no join
+        requires=["Window", "HashAggregate"],
+        forbids=["Join", "CartesianProduct"],
+    ),
+    "dedup_cdc_stats": dict(
+        # the shared-chunk filter must be a BROADCAST semi join
+        requires=["BroadcastHashJoin.*LeftSemi"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
+    "corpus_source_overlap": dict(
+        # one row per content hash + in-row pair expansion — no self-join
+        requires=["HashAggregate", "Generate"],
+        forbids=["Join", "CartesianProduct"],
+    ),
+    "tokens_ngram_diversity": dict(
+        requires=["HashAggregate"],
+        forbids=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    ),
 }
 
 
