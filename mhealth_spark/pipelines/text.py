@@ -452,3 +452,114 @@ def winnow_fingerprints(
         ).cast("int").alias("pos"),
     )
     return sel.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval: BM25 + inverted postings (the sparse complement to
+# the dense ANN family in pipelines/similarity.py)
+# ---------------------------------------------------------------------------
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+) -> DataFrame:
+    """Lucene-style BM25 over whitespace terms for one query:
+    ``score(d) = sum_t ln(1 + (N-df+0.5)/(df+0.5)) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl))``.
+
+    Two driver collects, both O(|query|)-tiny: corpus stats (N, total
+    words -> avgdl, embedded as an exact double literal) and the df
+    table (folded into a literal ``map``) — the same pattern a real
+    engine uses (global stats are broadcast, postings streamed). The
+    per-doc sum folds contributions in SORTED term order via
+    ``array_sort`` + ``aggregate`` so float summation order is pinned
+    (bit-identical to DuckDB's ``list_sum`` over ``ORDER BY term`` —
+    see the similarity_outliers precedent), and ranking happens on the
+    ROUNDED score so the top-k boundary cannot flip on a 1-ulp
+    cross-engine divergence."""
+    w = words_col(text_col)
+    base = docs.select(F.col(id_col), w.alias("w")).withColumn(
+        "dl", F.size("w")
+    )
+    stats = base.agg(
+        F.sum("dl").alias("tw"), F.count("*").alias("nd")
+    ).collect()[0]
+    n_docs, avgdl = stats["nd"], stats["tw"] / stats["nd"]
+    qlit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    tf = (
+        base.select(
+            F.col(id_col),
+            "dl",
+            F.explode(
+                F.filter(F.col("w"), lambda x: F.array_contains(qlit, x))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .collect()
+    }
+    import math
+
+    idf_entries = []
+    for t, dfv in sorted(dft.items()):
+        idf_entries += [
+            F.lit(t),
+            F.lit(math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))),
+        ]
+    idf = F.create_map(*idf_entries) if idf_entries else F.create_map()
+    contrib = idf[F.col("term")] * (
+        F.col("tf") * (k1 + 1.0)
+    ) / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (
+        tf.select(F.col(id_col), F.col("term"), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("s")
+        )
+    )
+    return (
+        scored.select(F.col(id_col), F.round("s", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(top_k)
+    )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted index: ``(term, df, postings)`` with postings the sorted
+    distinct doc ids. Distinct (term, doc) first (map-side combined),
+    then one groupBy(term) building the posting list — the shuffle
+    carries each posting exactly once. At 100 TB terms are range-bucketed
+    by term hash and posting lists chunked per bucket; here the list fits
+    a row."""
+    ex = (
+        docs.select(
+            F.col(id_col), F.explode(words_col(text_col)).alias("term")
+        )
+        .distinct()
+    )
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -3389,3 +3389,63 @@ def tokens_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.corpus import ngram_diversity
 
     return ngram_diversity(_tokens(spark))
+
+
+# ---------------------------------------------------------------------------
+# Sparse retrieval (pipelines/text.py bm25_scores / inverted_postings)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    base AS (SELECT doc_id, w, len(w) AS dl FROM d),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS nd FROM base),
+    tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, dl,
+                        unnest(list_filter(w, x -> list_contains(
+                            ['hash', 'join', 'vector'], x))) AS t
+                 FROM base)
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    ctb AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + ((SELECT nd FROM stats) - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                                  / (SELECT avgdl FROM stats))) AS c
+            FROM tf JOIN dft USING (term)),
+    sc AS (SELECT doc_id, list_sum(list(c ORDER BY term)) AS s
+           FROM ctb GROUP BY doc_id)
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 50
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the query {hash, join, vector}: broadcast global
+    stats (N, avgdl, per-term idf as literals), per-doc sum folded in
+    sorted term order (bit-identical to the oracle's list_sum), ranking
+    on the rounded score so the cut cannot flip on float ulps."""
+    from mhealth_spark.pipelines.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+@register(
+    "text_inverted_postings",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    ex AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM d)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM ex GROUP BY term
+    """,
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: distinct (term, doc) map-side
+    combined, one groupBy(term) builds each sorted posting list."""
+    from mhealth_spark.pipelines.text import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir))

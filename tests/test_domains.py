@@ -1796,3 +1796,47 @@ def test_tokens_ngram_diversity_values(spark):
     assert got["rep"]["distinct_ppm"] == 750000
     assert got["div"]["n_ngrams"] == 3 and got["div"]["n_distinct"] == 3
     assert got["div"]["distinct_ppm"] == 1000000
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from mhealth_spark.pipelines.text import bm25_scores, inverted_postings
+
+    corpus = {
+        0: "join hash join join",
+        1: "hash scan scan",
+        2: "scan scan scan scan",
+        3: "vector join",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["join", "hash", "vector"]).collect()}
+
+    # plain-python BM25 with the same formula
+    k1, b = 1.2, 0.75
+    docs = {i: t.split() for i, t in corpus.items()}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    dfreq = {
+        t: sum(1 for w in docs.values() if t in w)
+        for t in ["join", "hash", "vector"]
+    }
+    for i, w in docs.items():
+        s = 0.0
+        for t in sorted(dfreq):
+            tf = w.count(t)
+            if tf:
+                idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if s:
+            assert abs(got[i] - round(s, 6)) < 1e-9, (i, got[i], s)
+        else:
+            assert i not in got  # docs with no query term don't score
+    # doc 0 (two query terms, high tf) must outrank doc 1
+    assert got[0] > got[1]
+
+    post = {r["term"]: r for r in inverted_postings(df).collect()}
+    assert post["join"]["postings"] == [0, 3] and post["join"]["df"] == 2
+    assert post["scan"]["postings"] == [1, 2]
