@@ -563,3 +563,75 @@ def inverted_postings(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def bm25_stats(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[dict[str, float], float]:
+    """Freeze the corpus-global BM25 stats for one query: per-term
+    ``idf = ln(1 + (N-df+0.5)/(df+0.5))`` and ``avgdl``. Same formulas
+    (and the same Python ``math.log``) as ``bm25_scores`` computes
+    inline, so an expression built from these literals scores
+    bit-identically to the batch op. Two O(|query|)-tiny collects —
+    train once on the static reference corpus, ship ~|query| doubles."""
+    import math
+
+    w = words_col(text_col)
+    base = docs.select(F.col(id_col).alias("_id"), w.alias("w")).withColumn(
+        "dl", F.size("w")
+    )
+    stats = base.agg(
+        F.sum("dl").alias("tw"), F.count("*").alias("nd")
+    ).collect()[0]
+    n_docs, avgdl = stats["nd"], stats["tw"] / stats["nd"]
+    qlit = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    dft = {
+        r["term"]: r["df"]
+        for r in base.select(
+            "_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.col("w"), lambda x: F.array_contains(qlit, x))
+                )
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        for t, dfv in dft.items()
+    }
+    return idf, avgdl
+
+
+def bm25_score_expr(
+    idf: dict[str, float],
+    avgdl: float,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """Per-ROW BM25 score from FROZEN stats (idf map + avgdl, see
+    ``bm25_stats``) — a pure Column expression: tf per query term via
+    in-row filters, contributions folded in sorted term order.
+    Summation is bit-identical to ``bm25_scores``' grouped fold (an
+    absent term has tf=0 so its contribution is an exact +0.0, which
+    cannot perturb the running sum). Zero state, zero shuffle — usable
+    on a streaming frame as-is (see ``streaming.stream_bm25_score``)."""
+
+    def eq_term(t: str):
+        lit = F.lit(t)
+        return lambda x: x == lit
+
+    w = words_col(text_col)
+    norm = k1 * (1.0 - b + b * F.size(w).cast("double") / F.lit(float(avgdl)))
+    acc = F.lit(0.0)
+    for t in sorted(idf):
+        tf = F.size(F.filter(w, eq_term(t))).cast("double")
+        acc = acc + F.lit(float(idf[t])) * (tf * (k1 + 1.0)) / (tf + norm)
+    return acc

@@ -3434,6 +3434,49 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_expr_all",
+    f"""
+    WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    base AS (SELECT doc_id, w, len(w) AS dl FROM d),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS nd FROM base),
+    tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf
+           FROM (SELECT doc_id, dl,
+                        unnest(list_filter(w, x -> list_contains(
+                            ['hash', 'join', 'vector'], x))) AS t
+                 FROM base)
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    ctb AS (SELECT tf.doc_id, tf.term,
+                   ln(1 + ((SELECT nd FROM stats) - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl
+                                  / (SELECT avgdl FROM stats))) AS c
+            FROM tf JOIN dft USING (term)),
+    sc AS (SELECT doc_id, list_sum(list(c ORDER BY term)) AS s
+           FROM ctb GROUP BY doc_id)
+    SELECT base.doc_id, round(coalesce(s, 0.0), 6) AS bm25
+    FROM base LEFT JOIN sc USING (doc_id)
+    """,
+)
+def text_bm25_expr_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen-stats BM25 face: ``bm25_stats`` freezes (idf, avgdl)
+    from the corpus, ``bm25_score_expr`` scores EVERY doc as a pure
+    map-side Column expression (no shuffle, no Python — the ingest-gate
+    shape ``streaming.stream_bm25_score`` ships to a live stream). Docs
+    sharing no query term score exactly 0.0; matched docs are
+    bit-identical to ``bm25_scores``' grouped fold before rounding."""
+    from mhealth_spark.pipelines.text import bm25_score_expr, bm25_stats
+
+    docs = _docs(spark, sf_dir)
+    idf, avgdl = bm25_stats(docs, _BM25_TERMS)
+    return docs.select(
+        "doc_id",
+        F.round(bm25_score_expr(idf, avgdl), 6).alias("bm25"),
+    )
+
+
+@register(
     "text_inverted_postings",
     f"""
     WITH d AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),

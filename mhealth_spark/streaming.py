@@ -653,6 +653,36 @@ def stream_dsir_score(
     return out
 
 
+def stream_bm25_score(
+    docs: DataFrame,
+    idf: dict[str, float],
+    avgdl: float,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Streaming-ingest twin of ``text.bm25_scores``: score arriving
+    documents against FROZEN corpus stats (train once on the static
+    reference corpus via ``text.bm25_stats``, ship |query| idf doubles
+    + avgdl). State-free and map-only — a pure whole-stage-codegen
+    Column expression (``text.bm25_score_expr``), no watermark, no
+    shuffle, no Python — so it composes with the other ingest-gate
+    faces (decontaminate, exact dedup, dsir) in one pass. Scores are
+    bit-identical to the batch op's per-doc sums (pytest-proven); docs
+    sharing no query term score exactly 0.0 (the batch op emits no row
+    for them — ranking vs gating). ``min_score`` turns it into a
+    relevance ingest filter."""
+    from mhealth_spark.pipelines.text import bm25_score_expr
+
+    out = docs.withColumn(
+        "bm25", bm25_score_expr(idf, avgdl, text_col=text_col, k1=k1, b=b)
+    )
+    if min_score is not None:
+        out = out.filter(F.col("bm25") >= min_score)
+    return out
+
+
 def stream_ann_serve(
     queries: DataFrame,
     encoded_rows: list,

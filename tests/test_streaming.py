@@ -745,3 +745,79 @@ def test_stream_winnow_match_parity_and_flags(spark, tmp_path):
     q2.awaitTermination(120)
     a = spark.sql("SELECT * FROM t_winnow_alien").toPandas()
     assert (a.n_matched == 0).all() and not a.winnow_flagged.any()
+
+
+def test_stream_bm25_score_matches_batch(spark, tmp_path):
+    """stream_bm25_score with frozen (idf, avgdl) must score arriving
+    docs BIT-IDENTICALLY to the batch fold: per-doc raw scores equal a
+    Python float reference that replays bm25_score_expr's exact
+    operation order, matched docs agree with bm25_scores after
+    identical Spark-side rounding, and min_score gates the stream
+    exactly like a batch filter."""
+    from mhealth_spark.pipelines.text import bm25_scores, bm25_stats
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_bm25_score
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    terms = ["hash", "join", "vector"]
+    idf, avgdl = bm25_stats(docs, terms)
+    assert set(idf) <= set(terms) and avgdl > 0
+
+    k1, b = 1.2, 0.75
+
+    def py_score(text):
+        w = [x for x in text.split() if x]
+        norm = k1 * (1.0 - b + b * float(len(w)) / avgdl)
+        s = 0.0
+        for t in sorted(idf):
+            tf = float(w.count(t))
+            s += idf[t] * (tf * (k1 + 1.0)) / (tf + norm)
+        return s
+
+    exp = {
+        r["doc_id"]: py_score(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+
+    path = str(tmp_path / "docs_stream")
+    docs.write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream_bm25_score(stream, idf, avgdl)
+        .select("doc_id", "bm25", F.round("bm25", 6).alias("bm25_r"))
+        .writeStream.format("memory")
+        .queryName("t_bm25")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_bm25").toPandas().set_index("doc_id")
+    assert set(got.index) == set(exp)
+    for d, s in exp.items():
+        assert got.bm25.loc[d] == s, d  # bit-exact, no tolerance
+
+    # top_k sized to the corpus: TakeOrderedAndProject allocates O(k),
+    # so "no limit" must be expressed as n_docs, not a huge sentinel
+    batch = bm25_scores(docs, terms, top_k=int(docs.count())).toPandas()
+    assert len(batch) > 0
+    m = got.bm25_r.loc[batch.doc_id.values].values
+    assert (m == batch.bm25.values).all()
+    # non-matched docs score exactly 0.0 (batch emits no row for them)
+    zero = got.drop(index=batch.doc_id)
+    assert (zero.bm25 == 0.0).all()
+
+    thr = float(batch.bm25.median())
+    stream2 = spark.readStream.schema(schema).parquet(path)
+    q2 = (
+        stream_bm25_score(stream2, idf, avgdl, min_score=thr)
+        .writeStream.format("memory")
+        .queryName("t_bm25_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept = set(spark.sql("SELECT doc_id FROM t_bm25_gate").toPandas()["doc_id"])
+    assert kept == {d for d, s in exp.items() if s >= thr}
