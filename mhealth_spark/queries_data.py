@@ -909,6 +909,37 @@ def tokens_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokens_trailing_quantiles",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok FROM {_TOKENS_DUCK})
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           CAST(count(n_tok) OVER w AS BIGINT) AS trail_n_24h,
+           round(quantile_cont(n_tok, 0.5) OVER w, 6) AS p50_24h,
+           round(quantile_cont(n_tok, 0.9) OVER w, 6) AS p90_24h
+    FROM t
+    WINDOW w AS (PARTITION BY writer_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def tokens_trailing_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing p50/p90 of sequence length per (writer, ts) over
+    the strictly-past 24h RANGE frame — quantile_cont interpolation, so
+    DuckDB's windowed quantile_cont is a full value oracle."""
+    from mhealth_spark.tokens_engine import trailing_quantiles
+
+    out = trailing_quantiles(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        F.col("trail_n_24h").cast("long").alias("trail_n_24h"),
+        F.round("p50_24h", 6).alias("p50_24h"),
+        F.round("p90_24h", 6).alias("p90_24h"),
+    )
+
+
 _BACKFILL_ORACLE = f"""
     WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
     span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
@@ -1972,6 +2003,80 @@ def tokens_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source",
         F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_next",
+        "tokens_next",
+        "first_gap_s",
+    )
+
+
+@register(
+    "tokens_training_set",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
+                    date_trunc('hour', max(ts)) AS t1
+             FROM t GROUP BY 1),
+    r AS (SELECT source, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM span),
+    feat AS (
+      SELECT r.source AS source, r.ts AS ts,
+             count(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) > epoch(r.ts) - 3600) AS docs_1h,
+             CAST(sum(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) > epoch(r.ts) - 3600) AS BIGINT)
+                 AS tokens_1h,
+             round(avg(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) > epoch(r.ts) - 3600), 6) AS mean_len_1h,
+             max(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) > epoch(r.ts) - 3600) AS max_len_1h,
+             count(e.n_tok)                 AS docs_24h,
+             CAST(sum(e.n_tok) AS BIGINT)   AS tokens_24h,
+             round(avg(e.n_tok), 6)         AS mean_len_24h,
+             max(e.n_tok)                   AS max_len_24h
+      FROM r LEFT JOIN t e
+        ON e.source = r.source
+       AND e.ts <= r.ts
+       AND epoch(e.ts) > epoch(r.ts) - 86400
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT r.source AS source, r.ts AS ts,
+             count(e.n_tok)               AS docs_next,
+             CAST(sum(e.n_tok) AS BIGINT) AS tokens_next,
+             CAST(epoch(min(e.ts)) - epoch(r.ts) AS BIGINT) AS first_gap_s
+      FROM r LEFT JOIN t e
+        ON e.source = r.source
+       AND e.ts > r.ts
+       AND epoch(e.ts) <= epoch(r.ts) + 86400
+      GROUP BY 1, 2)
+    SELECT feat.source, strftime(feat.ts, '{_TS_FMT_DUCK}') AS req_ts,
+           docs_1h, tokens_1h, mean_len_1h, max_len_1h,
+           docs_24h, tokens_24h, mean_len_24h, max_len_24h,
+           docs_next, tokens_next, first_gap_s
+    FROM feat JOIN lab USING (source, ts)
+    """,
+)
+def tokens_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full leakage-clean training row per (source, request hour):
+    1h + 24h PAST features from ONE as-of join pass (the 1h horizon is
+    a conditional aggregate over the 24h-joined rows — K horizons, one
+    shuffle) equi-joined with 24h forward labels. Features see only
+    (req-lb, req]; labels only (req, req+24h]; the two windows tile the
+    request timestamp exactly."""
+    from mhealth_spark.tokens_engine import hourly_requests, training_set
+
+    tk = _tokens(spark)
+    out = training_set(tk, hourly_requests(tk))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_1h",
+        "tokens_1h",
+        F.round("mean_len_1h", 6).alias("mean_len_1h"),
+        "max_len_1h",
+        "docs_24h",
+        "tokens_24h",
+        F.round("mean_len_24h", 6).alias("mean_len_24h"),
+        "max_len_24h",
         "docs_next",
         "tokens_next",
         "first_gap_s",

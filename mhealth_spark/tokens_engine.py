@@ -160,6 +160,61 @@ def trailing_time_features(
     )
 
 
+def trailing_quantiles(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+    lookback_hours: float = 24.0,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """EXACT trailing quantiles per (entity, ts) over the strictly-past
+    time-RANGE frame ``[t - lookback, t)`` — the order-statistics
+    companion to ``trailing_time_features``'s moments. Linear
+    interpolation at rank ``q*(n-1)`` (quantile_cont / numpy-linear
+    semantics), so the DuckDB windowed ``quantile_cont`` is an exact
+    value oracle.
+
+    Scale shape: one hash exchange on the entity (zero over a bucketed
+    layout), then ``collect_list`` over the bounded frame + one in-row
+    ``array_sort`` per row. Cost and state are LOOKBACK-bounded (max
+    events per entity per 24 h), not corpus-bounded — the same bound a
+    streaming state store would carry; heavy entities are a data-rate
+    question, not a plan question. For sketch-sized memory at extreme
+    rates, swap in ``percentile_approx`` (same frame) and drop the
+    exact oracle."""
+    narrow = tokens.select("doc_id", entity_col, ts_col, value_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lb = int(lookback_hours * 3_600_000_000)
+    w = Window.partitionBy(entity_col).orderBy(us).rangeBetween(-lb, -1)
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    n = F.size(arr)
+    ht = f"{int(lookback_hours)}h"
+
+    def qv(q: float):
+        idx = (n - F.lit(1)).cast("double") * F.lit(float(q))
+        lo = F.floor(idx).cast("int")
+        frac = idx - lo.cast("double")
+        a_lo = F.element_at(arr, lo + F.lit(1)).cast("double")
+        a_hi = F.element_at(arr, lo + F.lit(2)).cast("double")
+        interp = F.when(frac > 0.0, a_lo + (a_hi - a_lo) * frac).otherwise(
+            a_lo
+        )
+        return F.when(n > 0, interp)
+
+    cols = [
+        qv(q).alias(f"p{int(q * 100)}_{ht}") for q in qs
+    ]
+    return narrow.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        value_col,
+        n.alias(f"trail_n_{ht}"),
+        *cols,
+    )
+
+
 def sequence_features(tokens: DataFrame) -> DataFrame:
     """Map-only per-sequence feature vector (no shuffle: scan → project):
     length, token-id moments, distinct ratio, rolling fingerprint. This is
@@ -299,6 +354,74 @@ def label_horizon_features(
         horizon_hours=horizon_hours,
         request_keys=[entity_col, "ts"],
     )
+
+
+def training_set(
+    tokens: DataFrame,
+    requests: DataFrame | None = None,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    lookbacks_hours: tuple[float, ...] = (1.0, 24.0),
+    horizon_hours: float = 24.0,
+) -> DataFrame:
+    """Leakage-clean TRAINING-SET assembly — the full feature_eng
+    composition in one call: multi-horizon PAST features plus
+    forward-horizon labels per (entity, request ts), every emitted
+    value using only data strictly on its own side of the request
+    timestamp (features ``(ts-lb, ts]``, labels ``(ts, ts+h]``).
+
+    Scale shape: ONE as-of join pass covers ALL feature horizons — the
+    join ranges over ``max(lookbacks_hours)`` and each shorter horizon
+    is a conditional aggregate (``count(CASE WHEN in-horizon ...)``)
+    over the same joined rows, so K horizons cost one shuffle, not K.
+    Labels need the mirrored forward range (one more bounded join); the
+    final assembly is an equi-join of two request-grid frames on the
+    same keys. At 10^12 events only the two bounded event joins touch
+    the big table; everything downstream is grid-sized. The request
+    grid is eagerly ``localCheckpoint``-ed: it feeds BOTH joins and
+    Catalyst does not reuse the grid subplan across them (measured: 4
+    scans of the event table → 2, the irreducible per-side joins)."""
+    from mhealth_spark.asof import _epoch
+
+    if requests is None:
+        requests = hourly_requests(tokens, entity_col)
+    requests = requests.localCheckpoint()
+    lbs = sorted(set(float(h) for h in lookbacks_hours))
+    max_lb = lbs[-1]
+
+    def tag(h: float) -> str:
+        return f"{int(h)}h" if h.is_integer() else f"{h}h"
+
+    aggs = []
+    for lb in lbs:
+        if lb == max_lb:
+            v = F.col("e.n_tok")
+        else:
+            in_h = _epoch(F.col(f"e.{ts_col}")) > (
+                _epoch(F.col("r.ts")) - F.lit(int(lb * 3600))
+            )
+            v = F.when(in_h, F.col("e.n_tok"))
+        t = tag(lb)
+        aggs += [
+            F.count(v).alias(f"docs_{t}"),
+            F.sum(v).alias(f"tokens_{t}"),
+            F.avg(v).alias(f"mean_len_{t}"),
+            F.max(v).alias(f"max_len_{t}"),
+        ]
+    feats = point_in_time_join(
+        tokens,
+        requests,
+        agg_exprs=aggs,
+        entity_col=entity_col,
+        event_ts=ts_col,
+        request_ts="ts",
+        lookback_hours=max_lb,
+        request_keys=[entity_col, "ts"],
+    )
+    labels = label_horizon_features(
+        tokens, requests, entity_col, ts_col, horizon_hours
+    )
+    return feats.join(labels, on=[entity_col, "ts"], how="inner")
 
 
 def backfill_features_grid(

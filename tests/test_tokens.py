@@ -213,3 +213,115 @@ def test_interleave_sources_round_robin(spark):
     # determinism: second run identical
     out2 = interleave_sources(df).toPandas().sort_values("interleave_key")
     assert (out.doc_id.values == out2.doc_id.values).all()
+
+
+def test_training_set_multi_horizon_matches_separate_passes(spark):
+    """training_set's conditional 1h columns (computed inside the single
+    24h as-of pass) must equal an independent backfill_features run at
+    lookback=1h, its 24h columns the 24h run, and its label columns the
+    label_horizon run — and features/labels must tile the request ts
+    with zero overlap (docs_1h <= docs_24h, no event counted on both
+    sides)."""
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import (
+        backfill_features,
+        hourly_requests,
+        label_horizon_features,
+        training_set,
+    )
+
+    tk = synth_tokens(spark, 800, seed=11)
+    req = hourly_requests(tk)
+    got = training_set(tk, req).toPandas().set_index(["source", "ts"])
+    assert len(got) > 0
+
+    b1 = (
+        backfill_features(tk, req, lookback_hours=1.0)
+        .toPandas()
+        .set_index(["source", "ts"])
+    )
+    b24 = backfill_features(tk, req).toPandas().set_index(["source", "ts"])
+    lab = (
+        label_horizon_features(tk, req)
+        .toPandas()
+        .set_index(["source", "ts"])
+    )
+    assert set(got.index) == set(b24.index) == set(lab.index)
+    g = got.loc[b24.index]
+    for col, ref in [
+        ("docs_1h", b1.docs_24h),
+        ("tokens_1h", b1.tokens_24h),
+        ("mean_len_1h", b1.mean_len_24h),
+        ("max_len_1h", b1.max_len_24h),
+        ("docs_24h", b24.docs_24h),
+        ("tokens_24h", b24.tokens_24h),
+        ("mean_len_24h", b24.mean_len_24h),
+        ("max_len_24h", b24.max_len_24h),
+        ("docs_next", lab.docs_next),
+        ("tokens_next", lab.tokens_next),
+        ("first_gap_s", lab.first_gap_s),
+    ]:
+        a = g[col]
+        r = ref.loc[g.index]
+        both_null = a.isna() & r.isna()
+        assert (both_null | (a == r)).all(), col
+
+    # horizon nesting + boundary tiling
+    assert (g.docs_1h.fillna(0) <= g.docs_24h.fillna(0)).all()
+    n_events = tk.count()
+    # every event is feature-side for requests at/after it and
+    # label-side strictly before it — never both for the same request:
+    # per request the two windows are disjoint by construction; check
+    # totals across the grid agree with brute force on a sample request
+    row = g.reset_index().iloc[17]
+    ev = tk.toPandas()
+    ev = ev[ev.source == row.source]
+    in_feat = ev[
+        (ev.ts <= row.ts)
+        & (ev.ts.astype("int64") // 10**9 > row.ts.timestamp() - 86400)
+    ]
+    in_lab = ev[
+        (ev.ts > row.ts)
+        & (ev.ts.astype("int64") // 10**9 <= row.ts.timestamp() + 86400)
+    ]
+    assert len(set(in_feat.doc_id) & set(in_lab.doc_id)) == 0
+    assert row.docs_24h == len(in_feat) and row.docs_next == len(in_lab)
+    assert n_events > 0
+
+
+def test_trailing_quantiles_matches_numpy_linear(spark):
+    """trailing_quantiles must equal numpy's 'linear' percentile over a
+    brute-force reconstruction of each row's strictly-past 24h frame —
+    frames, boundary exclusion (ties at t are future-side), and the
+    quantile_cont interpolation all checked per row."""
+    import numpy as np
+
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import trailing_quantiles
+
+    tk = synth_tokens(spark, 600, seed=5)
+    got = trailing_quantiles(tk).toPandas().set_index("doc_id")
+    ev = tk.select("doc_id", "writer_id", "ts", "n_tok").toPandas()
+    ev["us"] = ev.ts.astype("int64") // 1000  # ns -> us
+    lb = 24 * 3_600_000_000
+
+    checked = 0
+    for _, r in ev.iterrows():
+        g = got.loc[r.doc_id]
+        fr = ev[
+            (ev.writer_id == r.writer_id)
+            & (ev.us >= r.us - lb)
+            & (ev.us <= r.us - 1)
+        ].n_tok.values
+        assert g.trail_n_24h == len(fr)
+        if len(fr) == 0:
+            assert np.isnan(g.p50_24h) and np.isnan(g.p90_24h)
+            continue
+        # numpy's _lerp is the symmetric two-sided form; ours (and
+        # DuckDB's quantile_cont, the exact oracle) is a+(b-a)*t — they
+        # can differ by 1 ulp, so the numpy differential allows that
+        for q, col in ((50, g.p50_24h), (90, g.p90_24h)):
+            ref = np.percentile(fr, q, method="linear")
+            assert np.isclose(col, ref, rtol=1e-12, atol=0.0), (r.doc_id, q)
+        checked += 1
+    assert checked > 100
