@@ -72,6 +72,7 @@ WORKLOAD_TAGS = {
     "feature_vectors_prelayout": "128m-bucketed-v1",
     "row_features_prelayout": "1m-bucketed-payload-v1",
     "backfill": "32m-grid-v1",
+    "training_set": "32m-trainingset-grid-v1",
     "scan_narrow": "32m-scan-v1",
     "daily_rollup": "32m-salted-v1",
 }
@@ -102,7 +103,7 @@ from pyspark.sql import functions as F
 from mhealth_spark.session import get_spark
 from mhealth_spark.tokens_engine import (
     backfill_features_grid, hourly_requests, row_features, daily_source_stats,
-    sequence_features, feature_vectors,
+    sequence_features, feature_vectors, training_set_grid,
 )
 
 cores = int(sys.argv[1])
@@ -173,6 +174,12 @@ if want("backfill"):
     results["n_requests"] = hourly_requests(tokens_nw).count()
     results["rows_per_sec_backfill"] = (
         results["n_requests"] / results["backfill_sec"])
+if want("training_set"):
+    # the full leakage-clean training row (1h+24h features + 24h labels)
+    # from ONE scan: hierarchical partials + bidirectional range windows
+    results["training_set_sec"] = timed(lambda: training_set_grid(tokens_nw))
+    results["rows_per_sec_training_set"] = (
+        hourly_requests(tokens_nw).count() / results["training_set_sec"])
 if want("scan_narrow"):
     results["scan_narrow_sec"] = timed(lambda: tokens_nw)
     results["rows_per_sec_scan_narrow"] = n_rows_nw / results["scan_narrow_sec"]
@@ -209,7 +216,8 @@ spark.stop()
 # payload-layout twin are excluded to bound the level's wall time.
 LOCAL2_TIERS = ",".join([
     "scan_payload", "sequence_features", "feature_vectors",
-    "feature_vectors_prelayout", "backfill", "scan_narrow", "row_features",
+    "feature_vectors_prelayout", "backfill", "training_set", "scan_narrow",
+    "row_features",
 ])
 
 RATE_TIERS = [
@@ -218,6 +226,7 @@ RATE_TIERS = [
     ("feature_vectors", "entity×ts window feature vectors (32M narrow rows, NORTH-RULE tier)"),
     ("feature_vectors_prelayout", "same window over persisted bucketed layout, 128M rows (zero Exchange/Sort)"),
     ("backfill", "point-in-time 24h backfill grid (32M narrow rows, hierarchical agg)"),
+    ("training_set", "full training-row assembly: 1h+24h features + 24h labels, one scan (32M narrow rows)"),
     ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
     ("row_features_prelayout", "pass-through over bucketed payload layout (ZERO shuffle end-to-end)"),

@@ -2009,9 +2009,7 @@ def tokens_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tokens_training_set",
-    f"""
+_TRAINING_ORACLE = f"""
     WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
     span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
                     date_trunc('hour', max(ts)) AS t1
@@ -2053,8 +2051,10 @@ def tokens_label_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
            docs_24h, tokens_24h, mean_len_24h, max_len_24h,
            docs_next, tokens_next, first_gap_s
     FROM feat JOIN lab USING (source, ts)
-    """,
-)
+    """
+
+
+@register("tokens_training_set", _TRAINING_ORACLE)
 def tokens_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full leakage-clean training row per (source, request hour):
     1h + 24h PAST features from ONE as-of join pass (the 1h horizon is
@@ -2080,6 +2080,134 @@ def tokens_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs_next",
         "tokens_next",
         "first_gap_s",
+    )
+
+
+# the hierarchical-rollup twin for the REGULAR grid: one event-table
+# scan serves features AND labels, so it shares the SAME oracle SQL
+@register("tokens_training_set_grid", _TRAINING_ORACLE)
+def tokens_training_set_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-scale training-set assembly: (entity, hour] partials from ONE
+    scan, trailing range windows for the 1h/24h features, a leading
+    window for the 24h labels — value-identical to the generic as-of
+    composition (shared oracle)."""
+    from mhealth_spark.tokens_engine import training_set_grid
+
+    out = training_set_grid(_tokens(spark))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_1h",
+        "tokens_1h",
+        F.round("mean_len_1h", 6).alias("mean_len_1h"),
+        "max_len_1h",
+        "docs_24h",
+        "tokens_24h",
+        F.round("mean_len_24h", 6).alias("mean_len_24h"),
+        "max_len_24h",
+        "docs_next",
+        "tokens_next",
+        "first_gap_s",
+    )
+
+
+@register(
+    "tokens_expanding_stats",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts, n_tok FROM {_TOKENS_DUCK}),
+    b AS (SELECT doc_id, writer_id, ts, n_tok,
+                 count(n_tok) OVER w AS n,
+                 CAST(sum(n_tok) OVER w AS DOUBLE) AS s,
+                 CAST(sum(n_tok * n_tok) OVER w AS DOUBLE) AS s2
+          FROM t
+          WINDOW w AS (PARTITION BY writer_id ORDER BY epoch_us(ts), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT doc_id, writer_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, n_tok,
+           CAST(n AS BIGINT) AS exp_n,
+           round(CASE WHEN n >= 1 THEN s / n END, 6) AS exp_mean,
+           round(CASE WHEN n >= 2
+                      THEN sqrt((s2 - s * s / n) / (n - 1)) END, 6) AS exp_std,
+           round(CASE WHEN n >= 2 AND sqrt((s2 - s * s / n) / (n - 1)) > 0
+                      THEN (n_tok - s / n)
+                           / sqrt((s2 - s * s / n) / (n - 1)) END, 6) AS exp_z
+    FROM b
+    """,
+)
+def tokens_expanding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding strictly-past per-writer normalization (count/mean/
+    sample-std/z) from exact integer prefix sums — both engines evaluate
+    the identical closed-form expression, no Welford-order dependence."""
+    from mhealth_spark.tokens_engine import expanding_entity_stats
+
+    out = expanding_entity_stats(_tokens(spark))
+    return out.select(
+        "doc_id",
+        "writer_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "n_tok",
+        "exp_n",
+        F.round("exp_mean", 6).alias("exp_mean"),
+        F.round("exp_std", 6).alias("exp_std"),
+        F.round("exp_z", 6).alias("exp_z"),
+    )
+
+
+_DECAY_D = repr(0.5 ** (1.0 / 24.0)) + "e0"
+
+
+@register(
+    "tokens_decayed_rate",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    p AS (SELECT source,
+                 CASE WHEN ts = date_trunc('hour', ts)
+                      THEN date_trunc('hour', ts)
+                      ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                 END AS hr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_tok) AS BIGINT) AS s
+          FROM t GROUP BY 1, 2),
+    span AS (SELECT source, min(hr) AS t0, max(hr) AS t1 FROM p GROUP BY 1),
+    r AS (SELECT source, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                 AS ts FROM span),
+    g AS (SELECT r.source, r.ts,
+                 coalesce(CAST(p.s AS DOUBLE), 0.0e0) AS xs,
+                 coalesce(CAST(p.n AS DOUBLE), 0.0e0) AS xn,
+                 coalesce(p.n, 0) AS n0
+          FROM r LEFT JOIN p ON p.source = r.source AND p.hr = r.ts),
+    lists AS (SELECT g1.source AS source, g1.ts AS ts, g1.n0 AS n0,
+                     list(g2.xs ORDER BY g2.ts) AS ls,
+                     list(g2.xn ORDER BY g2.ts) AS ln
+              FROM g g1 JOIN g g2
+                ON g2.source = g1.source
+               AND g2.ts <= g1.ts
+               AND g2.ts > g1.ts - INTERVAL 168 HOURS
+              GROUP BY 1, 2, 3)
+    SELECT source, strftime(ts, '{_TS_FMT_DUCK}') AS req_ts,
+           CAST(n0 AS BIGINT) AS docs_this_hour,
+           round(list_reduce(list_prepend(0.0e0, ls),
+                             (acc, x) -> acc * {_DECAY_D} + x), 6)
+               AS decayed_tokens,
+           round(list_reduce(list_prepend(0.0e0, ln),
+                             (acc, x) -> acc * {_DECAY_D} + x), 6)
+               AS decayed_docs
+    FROM lists
+    """,
+)
+def tokens_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-source activity (half-life 24h, 168h
+    window) over the hourly grid — Horner fold ``acc*d + x`` in hour
+    order on both engines (no pow), so the list_reduce oracle is
+    bit-identical before the final rounding."""
+    from mhealth_spark.tokens_engine import decayed_rate_features
+
+    out = decayed_rate_features(_tokens(spark))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_this_hour",
+        F.round("decayed_tokens", 6).alias("decayed_tokens"),
+        F.round("decayed_docs", 6).alias("decayed_docs"),
     )
 
 

@@ -491,6 +491,237 @@ def backfill_features_grid(
     )
 
 
+def training_set_grid(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    lookbacks_hours: tuple[int, ...] = (1, 24),
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Grid-scale twin of ``training_set`` for the dense hourly request
+    grid — the whole leakage-clean training row from ONE scan of the
+    event table: events roll up to (entity, hour-ceiling] partials
+    (count/sum/max/min-ts/max-ts, all decomposable) in a single
+    map-side-combined groupBy, the request spine is derived FROM the
+    partials (no second pass over events), and then every horizon in
+    both directions is a bounded range window over the partial table:
+    trailing windows for the feature lookbacks, a leading window for
+    the labels (min-ts partial → time-to-next-event). Value-identical
+    to ``training_set`` (shared DuckDB oracle + exact-equality pytest).
+
+    Boundary semantics match ``point_in_time_join``: partials key by
+    the hour CEILING, so an event exactly on a request timestamp is
+    feature-side (strict-lower/inclusive-upper) and the leading label
+    window starting at +1 excludes it. Partial hours past the spine end
+    (events after the last request hour) join the frame so labels see
+    them, but emit no request row.
+
+    At 10^12 events the shuffle is bounded by the grid (|entities| ×
+    |hours|), not the corpus; the partial table is localCheckpoint-ed
+    because it feeds both the spine and the windows and Catalyst would
+    otherwise recompute the big aggregation per consumer."""
+    t = F.col(ts_col).cast("timestamp")
+    hour_floor = F.date_trunc("HOUR", t)
+    hr = F.when(t == hour_floor, hour_floor).otherwise(
+        hour_floor + F.expr("INTERVAL 1 HOUR")
+    )
+    partials = (
+        tokens.select(
+            F.col(entity_col), hr.alias("_hr"), F.col("n_tok"), t.alias("_ts")
+        )
+        .groupBy(entity_col, "_hr")
+        .agg(
+            F.count("n_tok").alias("_n"),
+            F.sum("n_tok").alias("_s"),
+            F.max("n_tok").alias("_mx"),
+            F.min("_ts").alias("_mnts"),
+            F.max("_ts").alias("_mxts"),
+        )
+        .localCheckpoint()
+    )
+    spine = (
+        partials.groupBy(entity_col)
+        .agg(
+            F.date_trunc("HOUR", F.min("_mnts")).alias("_t0"),
+            F.date_trunc("HOUR", F.max("_mxts")).alias("_t1"),
+        )
+        .select(
+            entity_col,
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("_hr"),
+            F.lit(True).alias("_req"),
+        )
+    )
+    dense = spine.join(partials, [entity_col, "_hr"], "full")
+    hours_num = (F.unix_micros(F.col("_hr")) / 3.6e9).cast("long")
+    cols = []
+    for lb in sorted(set(int(h) for h in lookbacks_hours)):
+        w = (
+            Window.partitionBy(entity_col)
+            .orderBy(hours_num)
+            .rangeBetween(-(lb - 1), 0)
+        )
+        n = F.sum("_n").over(w)
+        s = F.sum("_s").over(w)
+        tg = f"{lb}h"
+        cols += [
+            F.coalesce(n, F.lit(0)).alias(f"docs_{tg}"),
+            s.alias(f"tokens_{tg}"),
+            (s / n).alias(f"mean_len_{tg}"),
+            F.max("_mx").over(w).alias(f"max_len_{tg}"),
+        ]
+    wf = (
+        Window.partitionBy(entity_col)
+        .orderBy(hours_num)
+        .rangeBetween(1, int(horizon_hours))
+    )
+    nf = F.sum("_n").over(wf)
+    sf = F.sum("_s").over(wf)
+    cols += [
+        F.coalesce(nf, F.lit(0)).alias("docs_next"),
+        sf.alias("tokens_next"),
+        (
+            F.unix_timestamp(F.min("_mnts").over(wf))
+            - F.unix_timestamp(F.col("_hr"))
+        ).alias("first_gap_s"),
+    ]
+    return (
+        dense.select(
+            F.col(entity_col), F.col("_hr").alias("ts"), F.col("_req"), *cols
+        )
+        .filter(F.col("_req"))
+        .drop("_req")
+    )
+
+
+def expanding_entity_stats(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Expanding (all-history, strictly-past) per-entity normalization:
+    for every row, the count / mean / sample-std of the entity's PRIOR
+    values and the row's z-score against them — the classic leakage-safe
+    target/feature encoding (each row normalized by what was known just
+    before it).
+
+    Std is computed from exact integer prefix sums (``sum``, ``sum of
+    squares`` over the expanding ROWS frame, cast to double only at the
+    final ``sqrt((s2 - s²/n)/(n-1))``), NOT from a streaming variance
+    aggregate — both engines then evaluate the identical expression on
+    identical integers, so the DuckDB oracle matches to the ulp rather
+    than depending on matching Welford update orders. One hash exchange
+    on the entity (zero over the bucketed layout); the frame is a
+    running accumulator, not a re-scan."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(us, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = F.col(value_col)
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w).cast("double")
+    s2 = F.sum(x * x).over(w).cast("double")
+    nd = n.cast("double")
+    var = (s2 - s * s / nd) / (nd - F.lit(1.0))
+    std = F.when(n >= 2, F.sqrt(var))
+    mean = F.when(n >= 1, s / nd)
+    return tokens.select(
+        "doc_id",
+        entity_col,
+        ts_col,
+        value_col,
+        n.alias("exp_n"),
+        mean.alias("exp_mean"),
+        std.alias("exp_std"),
+        F.when(std > 0.0, (x.cast("double") - mean) / std).alias("exp_z"),
+    )
+
+
+def decayed_rate_features(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    half_life_hours: float = 24.0,
+    window_hours: int = 168,
+) -> DataFrame:
+    """Exponentially-decayed activity per (entity, request hour): hourly
+    doc/token counts folded with per-hour decay ``d = 2^(-1/half_life)``
+    over the trailing ``window_hours`` grid — EWMA-style recency
+    weighting, the standard "how active was this entity lately" feature
+    with smooth forgetting.
+
+    Scale + parity shape: events roll to (entity, hour] partials (one
+    map-side-combined groupBy, grid-bounded shuffle), the dense spine
+    comes FROM the partials, and the decayed sum is a HORNER fold
+    (``acc*d + x``) over the window's hour-ordered values — no ``pow``
+    anywhere, so the DuckDB ``list_reduce`` oracle is bit-identical
+    (multiply/add in the same order on the same doubles; the truncated
+    tail beyond ``window_hours`` is part of the definition on both
+    sides). Empty hours contribute an exact ``+0.0``."""
+    d = 0.5 ** (1.0 / float(half_life_hours))
+    t = F.col(ts_col).cast("timestamp")
+    hour_floor = F.date_trunc("HOUR", t)
+    hr = F.when(t == hour_floor, hour_floor).otherwise(
+        hour_floor + F.expr("INTERVAL 1 HOUR")
+    )
+    partials = (
+        tokens.select(F.col(entity_col), hr.alias("_hr"), F.col("n_tok"))
+        .groupBy(entity_col, "_hr")
+        .agg(
+            F.count("n_tok").alias("_n"),
+            F.sum("n_tok").alias("_s"),
+        )
+        .localCheckpoint()
+    )
+    spine = (
+        partials.groupBy(entity_col)
+        .agg(
+            F.date_trunc("HOUR", F.min("_hr")).alias("_t0"),
+            F.date_trunc("HOUR", F.max("_hr")).alias("_t1"),
+        )
+        .select(
+            entity_col,
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("_hr"),
+        )
+    )
+    dense = spine.join(partials, [entity_col, "_hr"], "left")
+    hours_num = (F.unix_micros(F.col("_hr")) / 3.6e9).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(hours_num)
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+
+    def horner(col):
+        xs = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    hours_num.alias("h"),
+                    F.coalesce(col.cast("double"), F.lit(0.0)).alias("x"),
+                )
+            ).over(w)
+        )
+        return F.aggregate(
+            xs,
+            F.lit(0.0),
+            lambda acc, s_: acc * F.lit(d) + s_["x"],
+        )
+
+    return dense.select(
+        F.col(entity_col),
+        F.col("_hr").alias("ts"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("docs_this_hour"),
+        horner(F.col("_s")).alias("decayed_tokens"),
+        horner(F.col("_n")).alias("decayed_docs"),
+    )
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

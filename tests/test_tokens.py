@@ -3,6 +3,7 @@ passes token arrays through BYTE-IDENTICAL on non-aggregated rows."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from mhealth_spark.source import layout_events
@@ -325,3 +326,112 @@ def test_trailing_quantiles_matches_numpy_linear(spark):
             assert np.isclose(col, ref, rtol=1e-12, atol=0.0), (r.doc_id, q)
         checked += 1
     assert checked > 100
+
+
+def test_training_set_grid_exactly_equals_generic(spark):
+    """training_set_grid (one-scan hierarchical rollup) must equal
+    training_set (generic as-of composition) EXACTLY — counts, sums,
+    means (same long/long division), max, and first_gap_s — on the
+    identical hourly request grid, including empty-window rows."""
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import training_set, training_set_grid
+
+    tk = synth_tokens(spark, 900, seed=23)
+    a = (
+        training_set(tk)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        training_set_grid(tk)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        x, y = a[col], b[col]
+        both_null = x.isna() & y.isna()
+        assert (both_null | (x == y)).all(), col
+
+
+def test_expanding_entity_stats_matches_pandas(spark):
+    """expanding_entity_stats must match pandas' expanding() mean/std
+    (shifted one row: strictly past) per writer, and z must be the
+    row's value normalized by those prior stats."""
+    import numpy as np
+
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import expanding_entity_stats
+
+    tk = synth_tokens(spark, 700, seed=3)
+    got = expanding_entity_stats(tk).toPandas()
+    ev = tk.select("doc_id", "writer_id", "ts", "n_tok").toPandas()
+    ev = ev.sort_values(["writer_id", "ts", "doc_id"]).reset_index(drop=True)
+
+    checked = 0
+    for wid, grp in ev.groupby("writer_id"):
+        x = grp.n_tok.astype(float)
+        exp_mean = x.expanding().mean().shift(1)
+        exp_std = x.expanding().std(ddof=1).shift(1)
+        exp_n = pd.Series(range(len(x)), index=grp.index, dtype=float)
+        g = got.set_index("doc_id").loc[grp.doc_id.values]
+        assert (g.exp_n.values == exp_n.values).all()
+        for mine, ref in ((g.exp_mean, exp_mean), (g.exp_std, exp_std)):
+            a, b = mine.values.astype(float), ref.values
+            ok = (np.isnan(a) & np.isnan(b)) | np.isclose(
+                a, b, rtol=1e-9, atol=1e-12
+            )
+            assert ok.all(), wid
+        z_ref = (x.values - exp_mean.values) / exp_std.values
+        zr = np.where(exp_std.values > 0, z_ref, np.nan)
+        a = g.exp_z.values.astype(float)
+        ok = (np.isnan(a) & np.isnan(zr)) | np.isclose(
+            a, zr, rtol=1e-9, atol=1e-12
+        )
+        assert ok.all(), wid
+        checked += 1
+    assert checked >= 3
+
+
+def test_decayed_rate_features_matches_python_horner(spark):
+    """decayed_rate_features must equal a Python Horner replay over the
+    same hour-ceiling partial grid — EXACT float equality (same fold
+    order, same multiply/add), including empty hours as +0.0 and the
+    168h truncation."""
+    from collections import defaultdict
+
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import decayed_rate_features
+
+    tk = synth_tokens(spark, 500, seed=9)
+    got = decayed_rate_features(tk).toPandas()
+    ev = tk.select("source", "ts", "n_tok").toPandas()
+
+    d = 0.5 ** (1.0 / 24.0)
+    HOUR = 3_600_000_000_000  # ns
+    parts = defaultdict(lambda: [0, 0])
+    for _, r in ev.iterrows():
+        t = r.ts.value
+        hr = t if t % HOUR == 0 else (t // HOUR + 1) * HOUR
+        parts[(r.source, hr)][0] += 1
+        parts[(r.source, hr)][1] += int(r.n_tok)
+
+    by_src = defaultdict(dict)
+    for (src, hr), (n, s) in parts.items():
+        by_src[src][hr] = (n, s)
+
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        hmap = by_src[row.source]
+        h = row.ts.value
+        acc_s = acc_n = 0.0
+        for k in range(h - 167 * HOUR, h + HOUR, HOUR):
+            n, s = hmap.get(k, (0, 0))
+            acc_s = acc_s * d + float(s)
+            acc_n = acc_n * d + float(n)
+        assert row.decayed_tokens == acc_s, (row.source, row.ts)
+        assert row.decayed_docs == acc_n, (row.source, row.ts)
+        assert row.docs_this_hour == hmap.get(h, (0, 0))[0]
