@@ -653,6 +653,68 @@ def stream_dsir_score(
     return out
 
 
+def stream_stream_backfill(
+    requests: DataFrame,
+    events: DataFrame,
+    entity_col: str = "source",
+    event_ts: str = "ts",
+    request_ts: str = "ts",
+    lookback_hours: float = 24.0,
+    request_watermark: str = "2 hours",
+    event_watermark: str = "2 hours",
+) -> DataFrame:
+    """BOTH sides streaming: feature requests AND events arrive as
+    streams, joined with the same strict as-of guard as the batch twin
+    (``e.ts <= r.ts AND e.ts > r.ts - lookback``) and aggregated per
+    (entity, request ts) — the fully-online face of
+    ``tokens_engine.backfill_features``. Two chained stateful operators
+    (stream-stream leftOuter interval join, then event-time
+    aggregation keyed on the watermarked request timestamp; Spark 3.5+/
+    4.x multiple-stateful-operator support): join state is evicted by
+    the time-range condition + watermarks, aggregation state finalizes
+    when the watermark passes the request — so every emitted row is
+    complete and exactly equals the batch value (pytest-proven),
+    including zero-event requests via the leftOuter null side. Requests
+    later than the watermark bound are withheld, never emitted wrong —
+    the standard completeness/latency trade.
+
+    Event-time columns are cast to TIMESTAMP (watermarks reject NTZ;
+    the session timezone is expected to be UTC, making the cast a
+    representation change only)."""
+    r = (
+        requests.withColumn(request_ts, F.col(request_ts).cast("timestamp"))
+        .withWatermark(request_ts, request_watermark)
+        .alias("r")
+    )
+    e = (
+        events.withColumn(event_ts, F.col(event_ts).cast("timestamp"))
+        .withWatermark(event_ts, event_watermark)
+        .alias("e")
+    )
+    lb_s = int(lookback_hours * 3600)
+    cond = (
+        (F.col(f"e.{entity_col}") == F.col(f"r.{entity_col}"))
+        & (F.col(f"e.{event_ts}") <= F.col(f"r.{request_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            > F.col(f"r.{request_ts}") - F.expr(f"INTERVAL {lb_s} SECONDS")
+        )
+    )
+    return (
+        r.join(e, cond, "leftOuter")
+        .groupBy(
+            F.col(f"r.{entity_col}").alias(entity_col),
+            F.col(f"r.{request_ts}").alias("ts"),
+        )
+        .agg(
+            F.count(F.col("e.n_tok")).alias("docs_24h"),
+            F.sum(F.col("e.n_tok")).alias("tokens_24h"),
+            F.avg(F.col("e.n_tok")).alias("mean_len_24h"),
+            F.max(F.col("e.n_tok")).alias("max_len_24h"),
+        )
+    )
+
+
 def stream_bm25_score(
     docs: DataFrame,
     idf: dict[str, float],

@@ -821,3 +821,55 @@ def test_stream_bm25_score_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     kept = set(spark.sql("SELECT doc_id FROM t_bm25_gate").toPandas()["doc_id"])
     assert kept == {d for d, s in exp.items() if s >= thr}
+
+
+def test_stream_stream_backfill_matches_batch(spark, tmp_path):
+    """stream_stream_backfill (requests AND events both streaming,
+    chained stateful join+agg) must agree EXACTLY with the batch as-of
+    twin on every emitted request, emit no spurious requests, and emit
+    the overwhelming majority (only the watermark-withheld tail may be
+    missing)."""
+    from mhealth_spark.streaming import stream_stream_backfill
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import backfill_features, hourly_requests
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 400, seed=13))
+    requests = hourly_requests(events)
+    ep, rp = str(tmp_path / "ev"), str(tmp_path / "rq")
+    events.write.parquet(ep)
+    requests.write.parquet(rp)
+
+    ev = spark.readStream.schema(spark.read.parquet(ep).schema).parquet(ep)
+    rq = spark.readStream.schema(spark.read.parquet(rp).schema).parquet(rp)
+    q = (
+        stream_stream_backfill(rq, ev)
+        .writeStream.format("memory")
+        .queryName("t_ssbf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM t_ssbf").toPandas()
+    batch = backfill_features(events, requests).toPandas()
+    # pandas NTZ vs TZ: compare on formatted keys
+    got["k"] = got.source + "|" + got.ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+    batch["k"] = batch.source + "|" + batch.ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+    b = batch.set_index("k")
+    assert set(got.k) <= set(b.index)  # nothing spurious
+    assert len(got) >= 0.9 * len(batch)  # only the watermark tail withheld
+    g = got.set_index("k")
+    ref = b.loc[g.index]
+    assert (g.docs_24h == ref.docs_24h).all()
+    for col in ("tokens_24h", "max_len_24h"):
+        both_null = g[col].isna() & ref[col].isna()
+        assert (both_null | (g[col] == ref[col])).all(), col
+    both_null = g.mean_len_24h.isna() & ref.mean_len_24h.isna()
+    assert (
+        both_null
+        | ((g.mean_len_24h - ref.mean_len_24h).abs() < 1e-9)
+    ).all()
+    # the withheld tail is exactly the LATEST requests, never interior
+    missing = batch[~batch.k.isin(got.k)]
+    if len(missing):
+        assert missing.ts.min() > got.ts.max() - pd.Timedelta(hours=26)
