@@ -2083,6 +2083,47 @@ def tokens_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental-ingest path: the corpus split into 3 arrival batches by
+# doc hash, each rolled up ALONE, partials merged (commutative monoid),
+# training set assembled from the merged partials — must equal the
+# full-recompute answer, so it shares the SAME oracle SQL
+@register("tokens_training_set_incremental", _TRAINING_ORACLE)
+def tokens_training_set_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance exactness: history is never rescanned —
+    each arrival batch becomes its own hour_partials frame, folded into
+    the persisted partial table by merge_hour_partials (sum/sum/max/
+    min/max monoids), and training_set_grid assembles from the merged
+    partials. Oracle-identical to the one-shot build."""
+    from mhealth_spark.tokens_engine import (
+        hour_partials,
+        merge_hour_partials,
+        training_set_grid,
+    )
+
+    tk = _tokens(spark)
+    b = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    parts = None
+    for i in range(3):
+        batch = hour_partials(tk.filter(b == i))
+        parts = batch if parts is None else merge_hour_partials(parts, batch)
+    out = training_set_grid(None, partials=parts)
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_1h",
+        "tokens_1h",
+        F.round("mean_len_1h", 6).alias("mean_len_1h"),
+        "max_len_1h",
+        "docs_24h",
+        "tokens_24h",
+        F.round("mean_len_24h", 6).alias("mean_len_24h"),
+        "max_len_24h",
+        "docs_next",
+        "tokens_next",
+        "first_gap_s",
+    )
+
+
 # the hierarchical-rollup twin for the REGULAR grid: one event-table
 # scan serves features AND labels, so it shares the SAME oracle SQL
 @register("tokens_training_set_grid", _TRAINING_ORACLE)

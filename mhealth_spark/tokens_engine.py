@@ -491,12 +491,68 @@ def backfill_features_grid(
     )
 
 
-def training_set_grid(
+def hour_partials(
     tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The (entity, hour-ceiling] rollup every grid op builds on:
+    ``(_n, _s, _mx, _mnts, _mxts)`` per (entity, _hr) — count, token sum,
+    max length, min/max event ts. One map-side-combined groupBy; keyed
+    by hour CEILING so boundary events land in the lower interval
+    (matching ``point_in_time_join``'s strict-lower/inclusive-upper).
+
+    Every field is a COMMUTATIVE MONOID (sum/sum/max/min/max), so
+    partials are mergeable: ``merge_hour_partials(hour_partials(a),
+    hour_partials(b)) == hour_partials(a ∪ b)`` exactly — the
+    incremental-ingest contract at 10^12 rows (persist the partial
+    table, roll each new batch up alone, merge grid-sized frames, never
+    rescan history; pytest + shared-oracle-proven)."""
+    t = F.col(ts_col).cast("timestamp")
+    hour_floor = F.date_trunc("HOUR", t)
+    hr = F.when(t == hour_floor, hour_floor).otherwise(
+        hour_floor + F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        tokens.select(
+            F.col(entity_col), hr.alias("_hr"), F.col("n_tok"), t.alias("_ts")
+        )
+        .groupBy(entity_col, "_hr")
+        .agg(
+            F.count("n_tok").alias("_n"),
+            F.sum("n_tok").alias("_s"),
+            F.max("n_tok").alias("_mx"),
+            F.min("_ts").alias("_mnts"),
+            F.max("_ts").alias("_mxts"),
+        )
+    )
+
+
+def merge_hour_partials(
+    existing: DataFrame, delta: DataFrame, entity_col: str = "source"
+) -> DataFrame:
+    """Fold a new batch's partials into the persisted partial table —
+    each field merged by its monoid (counts/sums add, max/min combine).
+    Shuffle is bounded by the grids being merged, never the event
+    history; at scale only the (entity, hour) keys the batch touched
+    change."""
+    u = existing.unionByName(delta)
+    return u.groupBy(entity_col, "_hr").agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_s").alias("_s"),
+        F.max("_mx").alias("_mx"),
+        F.min("_mnts").alias("_mnts"),
+        F.max("_mxts").alias("_mxts"),
+    )
+
+
+def training_set_grid(
+    tokens: DataFrame | None,
     entity_col: str = "source",
     ts_col: str = "ts",
     lookbacks_hours: tuple[int, ...] = (1, 24),
     horizon_hours: int = 24,
+    partials: DataFrame | None = None,
 ) -> DataFrame:
     """Grid-scale twin of ``training_set`` for the dense hourly request
     grid — the whole leakage-clean training row from ONE scan of the
@@ -519,26 +575,15 @@ def training_set_grid(
     At 10^12 events the shuffle is bounded by the grid (|entities| ×
     |hours|), not the corpus; the partial table is localCheckpoint-ed
     because it feeds both the spine and the windows and Catalyst would
-    otherwise recompute the big aggregation per consumer."""
-    t = F.col(ts_col).cast("timestamp")
-    hour_floor = F.date_trunc("HOUR", t)
-    hr = F.when(t == hour_floor, hour_floor).otherwise(
-        hour_floor + F.expr("INTERVAL 1 HOUR")
-    )
-    partials = (
-        tokens.select(
-            F.col(entity_col), hr.alias("_hr"), F.col("n_tok"), t.alias("_ts")
-        )
-        .groupBy(entity_col, "_hr")
-        .agg(
-            F.count("n_tok").alias("_n"),
-            F.sum("n_tok").alias("_s"),
-            F.max("n_tok").alias("_mx"),
-            F.min("_ts").alias("_mnts"),
-            F.max("_ts").alias("_mxts"),
-        )
-        .localCheckpoint()
-    )
+    otherwise recompute the big aggregation per consumer.
+
+    Pass ``partials`` (a ``hour_partials``/``merge_hour_partials``
+    frame) to assemble from a maintained partial table instead of
+    scanning events — the incremental-ingest path; ``tokens`` is then
+    ignored and may be None."""
+    if partials is None:
+        partials = hour_partials(tokens, entity_col, ts_col)
+    partials = partials.localCheckpoint()
     spine = (
         partials.groupBy(entity_col)
         .agg(

@@ -435,3 +435,57 @@ def test_decayed_rate_features_matches_python_horner(spark):
         assert row.decayed_tokens == acc_s, (row.source, row.ts)
         assert row.decayed_docs == acc_n, (row.source, row.ts)
         assert row.docs_this_hour == hmap.get(h, (0, 0))[0]
+
+
+def test_hour_partials_merge_is_exact(spark):
+    """merge_hour_partials(hour_partials(a), hour_partials(b)) must equal
+    hour_partials(a ∪ b) EXACTLY on every monoid field — the incremental
+    -ingest contract — and assembling the training set from merged
+    partials must equal the one-shot build."""
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import (
+        hour_partials,
+        merge_hour_partials,
+        training_set_grid,
+    )
+
+    tk = synth_tokens(spark, 700, seed=31)
+    a = tk.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    b = tk.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    assert a.count() > 0 and b.count() > 0
+
+    merged = (
+        merge_hour_partials(hour_partials(a), hour_partials(b))
+        .toPandas()
+        .sort_values(["source", "_hr"])
+        .reset_index(drop=True)
+    )
+    full = (
+        hour_partials(tk)
+        .toPandas()
+        .sort_values(["source", "_hr"])
+        .reset_index(drop=True)
+    )
+    assert len(merged) == len(full) > 0
+    for col in full.columns:
+        assert (merged[col] == full[col]).all(), col
+
+    inc = (
+        training_set_grid(
+            None, partials=merge_hour_partials(hour_partials(a), hour_partials(b))
+        )
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    one = (
+        training_set_grid(tk)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(inc) == len(one) > 0
+    for col in one.columns:
+        x, y = inc[col], one[col]
+        both_null = x.isna() & y.isna()
+        assert (both_null | (x == y)).all(), col
