@@ -56,6 +56,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATA_1X = "/tmp/bench_tokens.parquet"
 DATA_NARROW = "/tmp/bench_tokens_narrow32m.parquet"
+DATA_NARROW4 = "/tmp/bench_tokens_narrow128m.parquet"
 HISTORY = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
 
 # Workload tags: a tier's measurements merge across benchmark runs ONLY
@@ -72,7 +73,7 @@ WORKLOAD_TAGS = {
     "feature_vectors_prelayout": "128m-bucketed-v1",
     "row_features_prelayout": "1m-bucketed-payload-v1",
     "backfill": "32m-grid-v1",
-    "training_set": "32m-trainingset-grid-v1",
+    "training_set": "128m-narrow-trainingset-v1",
     "scan_narrow": "32m-scan-v1",
     "daily_rollup": "32m-salted-v1",
 }
@@ -105,6 +106,7 @@ from mhealth_spark.tokens_engine import (
     backfill_features_grid, hourly_requests, row_features, daily_source_stats,
     sequence_features, feature_vectors, training_set_grid,
 )
+from mhealth_spark.source import register_bucketed_layout, sorted_bucket_scan
 
 cores = int(sys.argv[1])
 TIERS = (None if len(sys.argv) < 3 or sys.argv[2] == "all"
@@ -147,7 +149,6 @@ if want("feature_vectors"):
 # pre-layout tier: same window workload over the persisted bucketed
 # layout — scan's HashPartitioning(writer_id) + SORTED BY metadata mean
 # the plan has NO Exchange and NO Sort (tests/test_layout.py asserts it)
-from mhealth_spark.source import register_bucketed_layout, sorted_bucket_scan
 if want("feature_vectors_prelayout"):
     register_bucketed_layout(spark, {btable!r}, {bloc!r}, {bddl!r},
                              buckets={bbuckets})
@@ -176,10 +177,15 @@ if want("backfill"):
         results["n_requests"] / results["backfill_sec"])
 if want("training_set"):
     # the full leakage-clean training row (1h+24h features + 24h labels)
-    # from ONE scan: hierarchical partials + bidirectional range windows
-    results["training_set_sec"] = timed(lambda: training_set_grid(tokens_nw))
+    # from ONE scan of 128M narrow rows (4x the other as-of tiers, so
+    # the ~0.7s fixed stage floor stays <10% of the local[8] wall):
+    # hierarchical (source, hour] partials + bidirectional range windows
+    tokens_n128 = spark.read.parquet({datan4!r})
+    results["training_set_sec"] = timed(
+        lambda: training_set_grid(tokens_n128))
+    results["n_train_rows"] = training_set_grid(tokens_n128).count()
     results["rows_per_sec_training_set"] = (
-        hourly_requests(tokens_nw).count() / results["training_set_sec"])
+        results["n_train_rows"] / results["training_set_sec"])
 if want("scan_narrow"):
     results["scan_narrow_sec"] = timed(lambda: tokens_nw)
     results["rows_per_sec_scan_narrow"] = n_rows_nw / results["scan_narrow_sec"]
@@ -226,7 +232,7 @@ RATE_TIERS = [
     ("feature_vectors", "entity×ts window feature vectors (32M narrow rows, NORTH-RULE tier)"),
     ("feature_vectors_prelayout", "same window over persisted bucketed layout, 128M rows (zero Exchange/Sort)"),
     ("backfill", "point-in-time 24h backfill grid (32M narrow rows, hierarchical agg)"),
-    ("training_set", "full training-row assembly: 1h+24h features + 24h labels, one scan (32M narrow rows)"),
+    ("training_set", "full training-row assembly: 1h+24h features + 24h labels, one scan (128M narrow rows)"),
     ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
     ("row_features_prelayout", "pass-through over bucketed payload layout (ZERO shuffle end-to-end)"),
@@ -243,6 +249,7 @@ def run_level(cores: int, tiers: str = "all") -> dict:
         repo=REPO,
         data1=DATA_1X,
         datan=DATA_NARROW,
+        datan4=DATA_NARROW4,
         btable=BUCKETED_TABLE,
         bloc=os.path.join(BUCKETED_WAREHOUSE, BUCKETED_TABLE),
         bddl=BUCKETED_DDL,
@@ -378,6 +385,7 @@ def main() -> None:
     os.makedirs("/dev/shm/spark", exist_ok=True)
     _gen(n_docs, DATA_1X)
     _gen(32 * n_docs, DATA_NARROW, narrow=True)
+    _gen(128 * n_docs, DATA_NARROW4, narrow=True)
     _gen_bucketed()
 
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))

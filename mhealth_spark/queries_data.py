@@ -2253,6 +2253,63 @@ def tokens_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokens_drift_psi",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    h AS (SELECT source, date_trunc('day', ts) AS day,
+                 CAST(least(floor(log2(greatest(n_tok, 1))), 13) AS INT) AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM t GROUP BY 1, 2, 3),
+    span AS (SELECT source, min(day) AS d0, max(day) AS d1
+             FROM h GROUP BY 1),
+    days AS (SELECT source,
+                    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+             FROM span),
+    spine AS (SELECT source, day, unnest(generate_series(0, 13)) AS b
+              FROM days),
+    dense AS (SELECT s.source, s.day, s.b, coalesce(h.c, 0) AS c
+              FROM spine s LEFT JOIN h USING (source, day, b)),
+    base AS (SELECT d1.source AS source, d1.day AS day, d1.b AS b,
+                    max(d1.c) AS c, coalesce(sum(d2.c), 0) AS cb
+             FROM dense d1 LEFT JOIN dense d2
+               ON d2.source = d1.source AND d2.b = d1.b
+              AND d2.day >= d1.day - INTERVAL 7 DAYS AND d2.day < d1.day
+             GROUP BY 1, 2, 3),
+    tot AS (SELECT source, day, CAST(sum(c) AS BIGINT) AS nt,
+                   CAST(sum(cb) AS BIGINT) AS nb
+            FROM base GROUP BY 1, 2),
+    terms AS (SELECT b1.source AS source, b1.day AS day, b1.b AS b,
+                     tot.nt AS nt, tot.nb AS nb,
+                     ((b1.c + 0.5e0) / (tot.nt + 7.0e0)
+                      - (b1.cb + 0.5e0) / (tot.nb + 7.0e0))
+                     * ln(((b1.c + 0.5e0) / (tot.nt + 7.0e0))
+                          / ((b1.cb + 0.5e0) / (tot.nb + 7.0e0))) AS term
+              FROM base b1 JOIN tot USING (source, day))
+    SELECT source, strftime(day, '{_TS_FMT_DUCK}') AS day_s,
+           max(nt) AS n_today, max(nb) AS n_base,
+           round(list_sum(list(term ORDER BY b)), 6) AS psi
+    FROM terms GROUP BY source, day
+    HAVING max(nt) > 0 AND max(nb) > 0
+    """,
+)
+def tokens_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, day) Population Stability Index of the length
+    distribution vs the pooled trailing 7 days — log2 buckets, add-0.5
+    smoothing, PSI folded in bucket order (≡ the oracle's ordered
+    list_sum). The 'did today's data change shape?' ingestion alarm."""
+    from mhealth_spark.tokens_engine import drift_psi
+
+    out = drift_psi(_tokens(spark))
+    return out.select(
+        "source",
+        F.date_format("day", _TS_FMT_SPARK).alias("day_s"),
+        "n_today",
+        "n_base",
+        F.round("psi", 6).alias("psi"),
+    )
+
+
+@register(
     "tokens_entropy",
     f"""
     WITH t AS (SELECT doc_id, tokens, n_tok FROM {_TOKENS_DUCK}),

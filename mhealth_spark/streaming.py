@@ -715,6 +715,68 @@ def stream_stream_backfill(
     )
 
 
+def stream_stream_labels(
+    requests: DataFrame,
+    events: DataFrame,
+    entity_col: str = "source",
+    event_ts: str = "ts",
+    request_ts: str = "ts",
+    horizon_hours: float = 24.0,
+    request_watermark: str | None = None,
+    event_watermark: str = "2 hours",
+) -> DataFrame:
+    """The label mirror of ``stream_stream_backfill``: requests and
+    events both streaming, each request aggregating the STRICT-FUTURE
+    window ``(r.ts, r.ts + horizon]`` — online label materialization
+    for the supervised pipeline (count/sum of future docs +
+    time-to-next-event). Same chained stateful shape (stream-stream
+    leftOuter interval join → event-time aggregation).
+
+    Watermark arithmetic differs from the backward face: a request can
+    only finalize after its whole horizon has PASSED on the event
+    stream, so the request-side watermark must be at least
+    ``horizon + event lateness`` — the label emission latency any
+    online labeler pays. Defaulted accordingly; exact agreement with
+    batch ``label_horizon_features`` on every emitted row is
+    pytest-proven."""
+    if request_watermark is None:
+        request_watermark = f"{int(horizon_hours * 3600) + 7200} seconds"
+    r = (
+        requests.withColumn(request_ts, F.col(request_ts).cast("timestamp"))
+        .withWatermark(request_ts, request_watermark)
+        .alias("r")
+    )
+    e = (
+        events.withColumn(event_ts, F.col(event_ts).cast("timestamp"))
+        .withWatermark(event_ts, event_watermark)
+        .alias("e")
+    )
+    hz_s = int(horizon_hours * 3600)
+    cond = (
+        (F.col(f"e.{entity_col}") == F.col(f"r.{entity_col}"))
+        & (F.col(f"e.{event_ts}") > F.col(f"r.{request_ts}"))
+        & (
+            F.col(f"e.{event_ts}")
+            <= F.col(f"r.{request_ts}") + F.expr(f"INTERVAL {hz_s} SECONDS")
+        )
+    )
+    return (
+        r.join(e, cond, "leftOuter")
+        .groupBy(
+            F.col(f"r.{entity_col}").alias(entity_col),
+            F.col(f"r.{request_ts}").alias("ts"),
+        )
+        .agg(
+            F.count(F.col("e.n_tok")).alias("docs_next"),
+            F.sum(F.col("e.n_tok")).alias("tokens_next"),
+            (
+                F.unix_timestamp(F.min(F.col(f"e.{event_ts}")))
+                - F.unix_timestamp(F.first(F.col(f"r.{request_ts}")))
+            ).alias("first_gap_s"),
+        )
+    )
+
+
 def stream_bm25_score(
     docs: DataFrame,
     idf: dict[str, float],

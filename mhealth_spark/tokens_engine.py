@@ -767,6 +767,110 @@ def decayed_rate_features(
     )
 
 
+def drift_psi(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    baseline_days: int = 7,
+    max_bucket: int = 13,
+) -> DataFrame:
+    """Distribution-drift monitor: per (entity, day), the Population
+    Stability Index of the sequence-length distribution against the
+    POOLED trailing ``baseline_days`` window —
+    ``PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)`` over log2 length buckets
+    with add-α smoothing (every bucket has mass on both sides, so no
+    log-of-zero). The standard "did today's data change shape?"
+    ingestion alarm; PSI ≳ 0.2 conventionally flags action.
+
+    Scale + parity shape: ONE groupBy rolls events to (entity, day,
+    bucket) counts — everything after is bounded by entities × days ×
+    ~14 buckets. The dense (day × bucket) spine comes from the
+    histogram itself; baseline counts are a per-(entity, bucket) range
+    window over days; the PSI sum folds IN BUCKET ORDER inside one
+    row's sorted struct array, so the DuckDB ordered-list oracle adds
+    the same doubles in the same sequence. Days with an empty baseline
+    (the first ``baseline_days`` of each entity) are not emitted."""
+    n_buckets = int(max_bucket) + 1
+    t = F.col(ts_col).cast("timestamp")
+    day = F.date_trunc("DAY", t)
+    bucket = F.least(
+        F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))),
+        F.lit(int(max_bucket)),
+    ).cast("int")
+    hist = (
+        tokens.select(F.col(entity_col), day.alias("_day"), bucket.alias("_b"))
+        .groupBy(entity_col, "_day", "_b")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint()
+    )
+    spine = (
+        hist.groupBy(entity_col)
+        .agg(F.min("_day").alias("_d0"), F.max("_day").alias("_d1"))
+        .select(
+            entity_col,
+            F.explode(
+                F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("_day"),
+        )
+        .select(
+            entity_col,
+            "_day",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(max_bucket)))
+            ).alias("_b"),
+        )
+    )
+    dense = spine.join(hist, [entity_col, "_day", "_b"], "left").select(
+        entity_col,
+        "_day",
+        "_b",
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    daynum = (F.unix_micros(F.col("_day")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    wb = (
+        Window.partitionBy(entity_col, "_b")
+        .orderBy(daynum)
+        .rangeBetween(-int(baseline_days), -1)
+    )
+    dense = dense.withColumn(
+        "_cb", F.coalesce(F.sum("_c").over(wb), F.lit(0))
+    )
+    g = dense.groupBy(entity_col, F.col("_day").alias("day")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("_b", "_c", "_cb"))
+        ).alias("bs")
+    )
+    bs = F.col("bs")
+    nt = F.aggregate(
+        bs, F.lit(0).cast("long"), lambda a, s: a + s["_c"]
+    )
+    nb = F.aggregate(
+        bs, F.lit(0).cast("long"), lambda a, s: a + s["_cb"]
+    )
+    a_lit = F.lit(float(alpha))
+    denom_t = nt.cast("double") + F.lit(float(alpha) * n_buckets)
+    denom_b = nb.cast("double") + F.lit(float(alpha) * n_buckets)
+
+    def psi_term(s):
+        p = (s["_c"].cast("double") + a_lit) / denom_t
+        q = (s["_cb"].cast("double") + a_lit) / denom_b
+        return (p - q) * F.log(p / q)
+
+    out = g.select(
+        entity_col,
+        "day",
+        nt.alias("n_today"),
+        nb.alias("n_base"),
+        F.aggregate(bs, F.lit(0.0), lambda a, s: a + psi_term(s)).alias(
+            "psi"
+        ),
+    )
+    return out.filter((F.col("n_today") > 0) & (F.col("n_base") > 0))
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

@@ -873,3 +873,48 @@ def test_stream_stream_backfill_matches_batch(spark, tmp_path):
     missing = batch[~batch.k.isin(got.k)]
     if len(missing):
         assert missing.ts.min() > got.ts.max() - pd.Timedelta(hours=26)
+
+
+def test_stream_stream_labels_matches_batch(spark, tmp_path):
+    """stream_stream_labels (both sides streaming, strict-future horizon
+    window) must agree EXACTLY with batch label_horizon_features on
+    every emitted request — online label materialization pays the
+    horizon in emission latency (the withheld tail), never in wrong
+    values."""
+    from mhealth_spark.streaming import stream_stream_labels
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import (
+        hourly_requests,
+        label_horizon_features,
+    )
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 400, seed=13))
+    requests = hourly_requests(events)
+    ep, rp = str(tmp_path / "ev_l"), str(tmp_path / "rq_l")
+    events.write.parquet(ep)
+    requests.write.parquet(rp)
+
+    ev = spark.readStream.schema(spark.read.parquet(ep).schema).parquet(ep)
+    rq = spark.readStream.schema(spark.read.parquet(rp).schema).parquet(rp)
+    q = (
+        stream_stream_labels(rq, ev)
+        .writeStream.format("memory")
+        .queryName("t_sslab")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM t_sslab").toPandas()
+    batch = label_horizon_features(events, requests).toPandas()
+    got["k"] = got.source + "|" + got.ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+    batch["k"] = batch.source + "|" + batch.ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+    b = batch.set_index("k")
+    assert set(got.k) <= set(b.index)
+    assert len(got) >= 0.5 * len(batch)
+    g = got.set_index("k")
+    ref = b.loc[g.index]
+    assert (g.docs_next == ref.docs_next).all()
+    for col in ("tokens_next", "first_gap_s"):
+        both_null = g[col].isna() & ref[col].isna()
+        assert (both_null | (g[col] == ref[col])).all(), col

@@ -489,3 +489,77 @@ def test_hour_partials_merge_is_exact(spark):
         x, y = inc[col], one[col]
         both_null = x.isna() & y.isna()
         assert (both_null | (x == y)).all(), col
+
+
+def test_drift_psi_matches_python_and_flags_planted_shift(spark):
+    """drift_psi must match a Python replay (same buckets, same pooled
+    7-day baseline, same add-alpha smoothing, same bucket-order fold;
+    1e-12 rel tolerance for the Java-vs-libm ln ulp) — and a planted
+    distribution shift must dominate the stable days' PSI."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    k = 0
+    for d in range(12):
+        # days 0-9: lengths around 16-64; days 10-11: shifted to 512-2048
+        lens = (
+            [17, 23, 33, 47, 60, 21, 35] if d < 10 else [600, 900, 1500, 2000, 700]
+        )
+        for i, L in enumerate(lens):
+            rows.append(
+                (f"d{k}", "s0", base + dt.timedelta(days=d, minutes=i), L)
+            )
+            k += 1
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, ts timestamp_ntz, n_tok int"
+    )
+    from mhealth_spark.tokens_engine import drift_psi
+
+    got = drift_psi(df).toPandas().sort_values("day").reset_index(drop=True)
+
+    # python replay
+    def b_of(n):
+        return min(int(math.floor(math.log2(max(n, 1)))), 13)
+
+    hist = {}
+    for _, src, ts, L in rows:
+        d = ts.date()
+        hist.setdefault(d, [0] * 14)
+        hist[d][b_of(L)] += 1
+    days = sorted(hist)
+    d0, d1 = days[0], days[-1]
+    all_days = [d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    exp = {}
+    for i, d in enumerate(all_days):
+        ct = hist.get(d, [0] * 14)
+        cb = [0] * 14
+        for j in range(max(0, i - 7), i):
+            pj = hist.get(all_days[j], [0] * 14)
+            cb = [a + b for a, b in zip(cb, pj)]
+        nt, nb = sum(ct), sum(cb)
+        if nt == 0 or nb == 0:
+            continue
+        psi = 0.0
+        for b in range(14):
+            p = (ct[b] + 0.5) / (nt + 7.0)
+            q = (cb[b] + 0.5) / (nb + 7.0)
+            psi += (p - q) * math.log(p / q)
+        exp[d] = (nt, nb, psi)
+
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        d = r.day.date()
+        nt, nb, psi = exp[d]
+        assert (r.n_today, r.n_base) == (nt, nb)
+        assert np.isclose(r.psi, psi, rtol=1e-12, atol=0.0), d
+
+    g = got.set_index(got.day.dt.day)
+    stable = got[got.day.dt.date < dt.date(2024, 1, 11)].psi.max()
+    shifted = got[got.day.dt.date >= dt.date(2024, 1, 11)].psi.min()
+    # early stable days have 7-sample baselines, so smoothing noise
+    # alone yields PSI ~0.6; the planted shift is still a clear multiple
+    assert shifted > 3 * stable > 0
