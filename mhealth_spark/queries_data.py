@@ -2252,6 +2252,49 @@ def tokens_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PF_K, _PF_EMB = 5, 24 * 3_600_000_000
+_PF_FOLD = " + ".join(
+    f"(CASE WHEN us - t0 >= (({j} * span) // {_PF_K}) THEN 1 ELSE 0 END)"
+    for j in range(1, _PF_K)
+)
+_PF_MASK = " || ".join(
+    f"(CASE WHEN us < t0 + (({j} * span) // {_PF_K}) - {_PF_EMB} "
+    f"OR us >= t0 + (({j + 1} * span) // {_PF_K}) + {_PF_EMB} "
+    "THEN '1' ELSE '0' END)"
+    for j in range(_PF_K)
+)
+
+
+@register(
+    "tokens_purged_folds",
+    f"""
+    WITH t AS (SELECT doc_id, ts FROM {_TOKENS_DUCK}),
+    st AS (SELECT min(epoch_us(ts)) AS t0,
+                  max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span FROM t),
+    b AS (SELECT doc_id, ts, epoch_us(ts) AS us, st.t0 AS t0, st.span AS span
+          FROM t, st)
+    SELECT doc_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+           CAST({_PF_FOLD} AS INT) AS fold,
+           {_PF_MASK} AS train_mask
+    FROM b
+    """,
+)
+def tokens_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged+embargoed time-series CV assignment: 5 contiguous time
+    folds, 24h embargo; fold boundaries are identical integers on both
+    engines (t0 + (j*span) div k), so fold id and the per-fold training
+    mask match exactly."""
+    from mhealth_spark.tokens_engine import purged_folds
+
+    out = purged_folds(_tokens(spark))
+    return out.select(
+        "doc_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "fold",
+        "train_mask",
+    )
+
+
 @register(
     "tokens_drift_psi",
     f"""

@@ -777,6 +777,81 @@ def stream_stream_labels(
     )
 
 
+def stream_drift_psi(
+    docs: DataFrame,
+    baseline: dict[str, list[int]],
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    max_bucket: int = 13,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming face of ``tokens_engine.drift_psi``: each (entity, day
+    window)'s length distribution scored against a FROZEN per-entity
+    baseline histogram (train on the reference corpus, ship ~14 ints per
+    entity). ONE stateful operator — the per-bucket counts are
+    conditional aggregates inside a single windowed groupBy (no chained
+    stateful aggs), and the PSI is a plain expression folding the 14
+    (count, baseline) pairs in bucket order, bit-matching the batch
+    fold over the same inputs. Rows emit when the watermark closes the
+    day — the online "today's data changed shape" alarm.
+
+    ``baseline[entity]`` = list of ``max_bucket+1`` counts (e.g. one
+    row group of ``drift_psi``'s pooled window, or any reference day
+    histogram). Entities absent from the table emit NULL psi."""
+    n_buckets = int(max_bucket) + 1
+    t = F.col(ts_col).cast("timestamp")
+    bucket = F.least(
+        F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))),
+        F.lit(int(max_bucket)),
+    ).cast("int")
+    counts = [
+        F.count(F.when(F.col("_b") == b, True)).alias(f"_c{b}")
+        for b in range(n_buckets)
+    ]
+    agg = (
+        docs.withColumn("_b", bucket)
+        .withColumn(ts_col, t)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(entity_col), F.window(ts_col, window).alias("_w"))
+        .agg(F.count("*").alias("n_today"), *counts)
+    )
+    base_entries = []
+    for ent in sorted(baseline):
+        hist = list(baseline[ent])
+        if len(hist) != n_buckets:
+            raise ValueError(
+                f"baseline[{ent!r}] must have {n_buckets} buckets"
+            )
+        base_entries += [
+            F.lit(ent),
+            F.array(*[F.lit(int(c)) for c in hist]),
+        ]
+    bmap = F.create_map(*base_entries) if base_entries else F.create_map()
+    bcol = bmap[F.col(entity_col)]
+    nb = F.aggregate(
+        bcol, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    a_lit = float(alpha)
+    denom_t = F.col("n_today").cast("double") + F.lit(a_lit * n_buckets)
+    denom_b = nb.cast("double") + F.lit(a_lit * n_buckets)
+    psi = F.lit(0.0)
+    for b in range(n_buckets):
+        p = (F.col(f"_c{b}").cast("double") + F.lit(a_lit)) / denom_t
+        q = (
+            F.element_at(bcol, b + 1).cast("double") + F.lit(a_lit)
+        ) / denom_b
+        psi = psi + (p - q) * F.log(p / q)
+    return agg.select(
+        entity_col,
+        F.col("_w.start").alias("day"),
+        "n_today",
+        nb.alias("n_base"),
+        psi.alias("psi"),
+    )
+
+
 def stream_bm25_score(
     docs: DataFrame,
     idf: dict[str, float],

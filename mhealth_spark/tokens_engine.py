@@ -871,6 +871,51 @@ def drift_psi(
     return out.filter((F.col("n_today") > 0) & (F.col("n_base") > 0))
 
 
+def purged_folds(
+    tokens: DataFrame,
+    ts_col: str = "ts",
+    k: int = 5,
+    embargo_hours: float = 24.0,
+) -> DataFrame:
+    """Purged time-series cross-validation assignment (the leakage-
+    controlled CV split, de Prado's purging+embargo): the global time
+    span divides into ``k`` contiguous folds; each row gets its fold id
+    plus a k-char mask — char j is '1' iff the row may TRAIN when fold
+    j validates, i.e. the row sits strictly outside fold j's boundaries
+    widened by the embargo on both sides. Rows adjacent to a validation
+    block are excluded from its training set, killing boundary leakage
+    through windowed/as-of features.
+
+    Exactness + scale: fold boundaries are INTEGER microsecond
+    arithmetic (``t0 + (j*span) div k``) computed once from a 2-value
+    aggregate and shipped as literals — fold id is a sum of boundary
+    indicators and the mask a concat of boundary comparisons, so the
+    whole op is one tiny collect + a pure map (no doubles anywhere, no
+    shuffle; the DuckDB oracle rebuilds the identical integers)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    row = tokens.agg(
+        F.min(us).alias("t0"), F.max(us).alias("t1")
+    ).collect()[0]
+    t0, t1 = int(row["t0"]), int(row["t1"])
+    span = t1 - t0 + 1
+    emb = int(embargo_hours * 3_600_000_000)
+    bounds = [t0 + (j * span) // k for j in range(k + 1)]
+
+    fold = F.lit(0)
+    for j in range(1, k):
+        fold = fold + F.when(us >= F.lit(bounds[j]), 1).otherwise(0)
+    mask_chars = []
+    for j in range(k):
+        ok = (us < F.lit(bounds[j] - emb)) | (us >= F.lit(bounds[j + 1] + emb))
+        mask_chars.append(F.when(ok, F.lit("1")).otherwise(F.lit("0")))
+    return tokens.select(
+        "doc_id",
+        F.col(ts_col),
+        fold.cast("int").alias("fold"),
+        F.concat(*mask_chars).alias("train_mask"),
+    )
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

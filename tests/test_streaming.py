@@ -918,3 +918,73 @@ def test_stream_stream_labels_matches_batch(spark, tmp_path):
     for col in ("tokens_next", "first_gap_s"):
         both_null = g[col].isna() & ref[col].isna()
         assert (both_null | (g[col] == ref[col])).all(), col
+
+
+def test_stream_drift_psi_matches_python(spark, tmp_path):
+    """stream_drift_psi: windowed conditional-count histogram + frozen
+    baseline must reproduce the exact PSI a Python replay computes per
+    closed (source, day) window (1e-12 rel for Java-vs-libm ln), and a
+    planted shifted day must alarm."""
+    import datetime as ddt
+    import math
+
+    import numpy as np
+
+    rows = []
+    base = ddt.datetime(2024, 1, 1)
+    k = 0
+    for d in range(6):
+        lens = [17, 23, 33, 47, 60] if d < 5 else [600, 900, 1500, 2000]
+        for i, L in enumerate(lens):
+            rows.append((f"d{k}", "s0", base + ddt.timedelta(days=d, minutes=i), L))
+            k += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "ts", "n_tok"])
+    path = str(tmp_path / "docs_psi")
+    spark.createDataFrame(pdf).withColumn(
+        "n_tok", F.col("n_tok").cast("int")
+    ).write.parquet(path)
+
+    def b_of(n):
+        return min(int(math.floor(math.log2(max(n, 1)))), 13)
+
+    # frozen baseline = day 0's histogram
+    baseline = [0] * 14
+    for _, _, ts, L in rows:
+        if ts.date() == ddt.date(2024, 1, 1):
+            baseline[b_of(L)] += 1
+    from mhealth_spark.streaming import stream_drift_psi
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        stream_drift_psi(stream, {"s0": baseline})
+        .writeStream.format("memory")
+        .queryName("t_psi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_psi").toPandas()
+    # append mode withholds windows the watermark hasn't closed
+    assert len(got) >= 4
+
+    nb = sum(baseline)
+    for _, r in got.iterrows():
+        d = r.day.date()
+        ct = [0] * 14
+        for _, _, ts, L in rows:
+            if ts.date() == d:
+                ct[b_of(L)] += 1
+        nt = sum(ct)
+        psi = 0.0
+        for b in range(14):
+            p = (ct[b] + 0.5) / (nt + 7.0)
+            qq = (baseline[b] + 0.5) / (nb + 7.0)
+            psi += (p - qq) * math.log(p / qq)
+        assert (r.n_today, r.n_base) == (nt, nb), d
+        assert np.isclose(r.psi, psi, rtol=1e-12, atol=0.0), d
+
+    shifted = got[got.day.dt.date == ddt.date(2024, 1, 6)]
+    stable = got[got.day.dt.date < ddt.date(2024, 1, 6)]
+    if len(shifted):
+        assert shifted.psi.min() > 3 * stable.psi.max()

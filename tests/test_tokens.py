@@ -563,3 +563,42 @@ def test_drift_psi_matches_python_and_flags_planted_shift(spark):
     # early stable days have 7-sample baselines, so smoothing noise
     # alone yields PSI ~0.6; the planted shift is still a clear multiple
     assert shifted > 3 * stable > 0
+
+
+def test_purged_folds_invariants_and_python_replay(spark):
+    """purged_folds: a row never trains for its own validation fold,
+    folds are contiguous in time, and fold + mask match an exact-integer
+    Python replay (same boundaries, same embargo)."""
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import purged_folds
+
+    tk = synth_tokens(spark, 600, seed=17)
+    k, emb_h = 5, 24.0
+    got = purged_folds(tk, k=k, embargo_hours=emb_h).toPandas()
+    assert len(got) == 600
+    assert set(got.fold) == set(range(k))
+
+    ev = tk.select("doc_id", "ts").toPandas()
+    ev["us"] = ev.ts.astype("int64") // 1000
+    t0, t1 = int(ev.us.min()), int(ev.us.max())
+    span = t1 - t0 + 1
+    emb = int(emb_h * 3_600_000_000)
+    bounds = [t0 + (j * span) // k for j in range(k + 1)]
+
+    g = got.set_index("doc_id")
+    for _, r in ev.iterrows():
+        us = int(r.us)
+        fold = sum(1 for j in range(1, k) if us >= bounds[j])
+        mask = "".join(
+            "1" if (us < bounds[j] - emb or us >= bounds[j + 1] + emb) else "0"
+            for j in range(k)
+        )
+        row = g.loc[r.doc_id]
+        assert row.fold == fold, r.doc_id
+        assert row.train_mask == mask, r.doc_id
+        assert mask[fold] == "0"  # own fold never trainable
+
+    # folds partition time contiguously: max ts of fold j < min of fold j+1
+    byf = got.groupby("fold").ts.agg(["min", "max"]).sort_index()
+    for j in range(len(byf) - 1):
+        assert byf["max"].iloc[j] < byf["min"].iloc[j + 1]
