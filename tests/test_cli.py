@@ -162,3 +162,24 @@ def test_cli_corpus_build(spark, tmp_path):
     built = _read(spark, out)
     assert "split" in built.columns
     assert 0 < built.count() <= 500
+
+
+def test_cli_tokens_training_set(spark, tokens_parquet, tmp_path):
+    """Both training-set job variants run end-to-end and agree exactly."""
+    out_g = str(tmp_path / "ts_grid")
+    out_j = str(tmp_path / "ts_join")
+    assert cli.main(
+        ["tokens-training-set", "--input", tokens_parquet,
+         "--output", out_g, "--grid"]
+    ) == 0
+    assert cli.main(
+        ["tokens-training-set", "--input", tokens_parquet, "--output", out_j]
+    ) == 0
+    a = _read(spark, out_g).toPandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    b = _read(spark, out_j).toPandas().sort_values(["source", "ts"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert set(a.columns) == set(b.columns)
+    for col in a.columns:
+        x, y = a[col], b[col]
+        both_null = x.isna() & y.isna()
+        assert (both_null | (x == y)).all(), col
