@@ -1213,3 +1213,121 @@ def ngram_diversity(
             ),
         )
     )
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 3,
+    buckets: int = 64,
+    salt: str = "neg0",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    doc gets up to ``k`` negatives = the next docs on a hash ring that
+    come from a DIFFERENT source — a reproducible stand-in for "random
+    in-batch negatives" (the ring position is a keyed hash, so pairs
+    are uniform w.r.t. content yet identical across runs; no RNG).
+
+    Scale shape: ring positions hash-partition into ``buckets``
+    independent windows (no global sort — parallelism = buckets), each
+    doc looks ahead ``k + margin`` in-bucket rows via ``lead`` and keeps
+    the first ``k`` cross-source ones; output ≤ k·n rows, one exchange.
+    The margin absorbs same-source neighbors (the corpus's Zipf head);
+    docs near a bucket tail may emit fewer than ``k`` — the standard
+    edge any bucketed sampler has. md5-ring tier for DuckDB parity; at
+    scale swap the ring to ``xxhash64`` (same plan shape)."""
+    margin = 3 * k
+    ring = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col), F.col(source_col), ring.alias("_ring")
+    ).withColumn("_bkt", F.pmod(F.col("_ring"), F.lit(int(buckets))))
+    w = Window.partitionBy("_bkt").orderBy("_ring", id_col)
+    # window expressions must be plain projection columns — materialize
+    # the leads first, assemble the candidate array in a second select
+    led = base.select(
+        id_col,
+        source_col,
+        *[
+            c
+            for i in range(1, margin + 1)
+            for c in (
+                F.lead(id_col, i).over(w).alias(f"_nid{i}"),
+                F.lead(source_col, i).over(w).alias(f"_nsrc{i}"),
+            )
+        ],
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.col(f"_nid{i}").alias("nid"),
+                F.col(f"_nsrc{i}").alias("nsrc"),
+            )
+            for i in range(1, margin + 1)
+        ]
+    )
+    kept = F.slice(
+        F.filter(
+            cands,
+            lambda s: s["nid"].isNotNull()
+            & (s["nsrc"] != F.col(source_col)),
+        ),
+        1,
+        int(k),
+    )
+    ex = led.select(
+        id_col, source_col, F.posexplode(kept).alias("pos", "s")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.col("pos") + 1).cast("int").alias("neg_rank"),
+        F.col("s.nid").alias("neg_id"),
+        F.col("s.nsrc").alias("neg_source"),
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split0",
+) -> DataFrame:
+    """Train/val/test LEAKAGE audit: exact-duplicate content groups that
+    span more than one split — the eval-hygiene failure a hash split
+    cannot prevent (identical docs hash to different splits because the
+    split keys on doc_id, dedup keys on content). Run AFTER dedup this
+    must be empty; run before, it measures exactly how much eval
+    contamination skipping dedup would cost.
+
+    One fingerprint groupBy (map-side combined); emitted rows are
+    leak-group-sized, tiny by construction. Pairs with the near-dup
+    version of the same audit: feed ``minhash_lsh_candidates`` pairs
+    through the split table and keep cross-split pairs."""
+    from mhealth_spark.pipelines.text import words_col
+
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    labeled = split_corpus(docs, w, id_col=id_col, salt=salt)
+    norm = F.concat_ws(" ", words_col(text_col))
+    fp = docs.select(F.col(id_col), F.md5(norm).alias("fp")).join(
+        labeled.select(id_col, "split"), id_col
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.sort_array(F.collect_set("split")).alias("splits"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
+    )

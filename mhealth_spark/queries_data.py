@@ -3765,6 +3765,75 @@ def tokens_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_diversity(_tokens(spark))
 
 
+@register(
+    "corpus_split_leakage",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      md5(array_to_string({_WORDS_SQL}, ' ')) AS fp,
+                      CASE WHEN {_SPLIT_HX} < '{{thr_train}}' THEN 'train'
+                           WHEN {_SPLIT_HX} < '{{thr_val}}' THEN 'val'
+                           ELSE 'test' END AS split
+               FROM documents)
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           list_sort(list(DISTINCT split)) AS splits,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM d GROUP BY fp
+    HAVING count(*) > 1 AND count(DISTINCT split) > 1
+    """.format(
+        thr_train=_hx_thresh(0.5), thr_val=_hx_thresh(0.75)
+    ),
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: exact-duplicate content groups that
+    span splits (the split hashes doc_id, dedup hashes content — after
+    dedup this must be empty; before it, it prices the contamination).
+    50/25/25 split so the audit has teeth on the small synth corpora
+    (4 real leak groups at sf0.1); crafted-corpus pytest value-checks
+    the group structure."""
+    from mhealth_spark.pipelines.corpus import split_leakage
+
+    return split_leakage(
+        _docs(spark, sf_dir),
+        weights={"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+
+
+@register(
+    "corpus_contrastive_negatives",
+    """
+    WITH r AS (SELECT doc_id, source,
+                      ('0x' || substr(md5(doc_id || '#neg0'), 1, 8))::BIGINT
+                          AS ring
+               FROM documents),
+    b AS (SELECT doc_id, source, ring, ring % 64 AS bkt,
+                 row_number() OVER (PARTITION BY ring % 64
+                                    ORDER BY ring, doc_id) AS rn
+          FROM r),
+    cand AS (SELECT a.doc_id AS doc_id, a.source AS source,
+                    b2.doc_id AS neg_id, b2.source AS neg_source,
+                    b2.rn - a.rn AS d
+             FROM b a JOIN b b2
+               ON b2.bkt = a.bkt AND b2.rn > a.rn AND b2.rn <= a.rn + 9
+             WHERE b2.source <> a.source),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d)
+                         AS neg_rank
+           FROM cand)
+    SELECT doc_id, source, CAST(neg_rank AS INT) AS neg_rank,
+           neg_id, neg_source
+    FROM rk WHERE neg_rank <= 3
+    """,
+)
+def corpus_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: up to 3 cross-source
+    negatives per doc from the md5 hash ring, 64 independent bucket
+    windows (no global sort), 9-row lookahead margin absorbing the Zipf
+    same-source head."""
+    from mhealth_spark.pipelines.corpus import contrastive_negatives
+
+    return contrastive_negatives(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Sparse retrieval (pipelines/text.py bm25_scores / inverted_postings)
 # ---------------------------------------------------------------------------

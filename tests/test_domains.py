@@ -1840,3 +1840,74 @@ def test_bm25_matches_python_reference(spark):
     post = {r["term"]: r for r in inverted_postings(df).collect()}
     assert post["join"]["postings"] == [0, 3] and post["join"]["df"] == 2
     assert post["scan"]["postings"] == [1, 2]
+
+
+def test_contrastive_negatives_invariants(spark):
+    """contrastive_negatives: never a same-source pair, neg_rank dense
+    from 1 per doc, at most k per doc, deterministic across runs, and
+    the ring gives most docs full fan-out."""
+    from mhealth_spark.pipelines.corpus import contrastive_negatives
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", "/root/testdata/sf0.001")
+    k = 3
+    # buckets sized to the corpus (~60 docs per bucket) so lookahead
+    # tail truncation stays a per-bucket edge, not the common case
+    got = contrastive_negatives(docs, k=k, buckets=8).toPandas()
+    assert len(got) > 0
+    assert (got.source != got.neg_source).all()
+    assert got.neg_rank.between(1, k).all()
+    by = got.groupby("doc_id").neg_rank.agg(["count", "min", "max"])
+    assert (by["min"] == 1).all()
+    assert (by["max"] == by["count"]).all()  # dense ranks
+    n_docs = docs.count()
+    # ring + margin should give nearly every doc its full k negatives
+    assert (by["count"] == k).sum() >= 0.8 * n_docs
+    again = contrastive_negatives(docs, k=k, buckets=8).toPandas()
+    key = ["doc_id", "neg_rank"]
+    assert got.sort_values(key).neg_id.tolist() == again.sort_values(key).neg_id.tolist()
+    # pairs reference real docs
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(got.neg_id) <= ids
+
+
+def test_split_leakage_crafted_groups(spark):
+    """split_leakage on a crafted corpus: duplicate content planted
+    across doc_ids that hash to different splits must surface as leak
+    groups with the right membership; unique docs and same-split dups
+    must not."""
+    from mhealth_spark.pipelines.corpus import split_corpus, split_leakage
+
+    # find doc ids landing in different 50/25/25 splits
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    lab = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            ids, {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    by = {}
+    for d, sp in lab.items():
+        by.setdefault(sp, []).append(d)
+    a_train, b_train = by["train"][:2]
+    a_val = by["val"][0]
+    a_test = by["test"][0]
+
+    rows = [
+        (a_train, "leaky duplicate content here"),
+        (a_val, "leaky duplicate content here"),      # cross-split dup
+        (b_train, "same split duplicate body"),
+        (by["train"][2], "same split duplicate body"),  # same-split dup
+        (a_test, "a unique document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = split_leakage(
+        docs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert sorted(r.doc_ids) == sorted([a_train, a_val])
+    assert list(r.splits) == ["train", "val"]
+    assert (r.n_docs, r.n_splits) == (2, 2)
