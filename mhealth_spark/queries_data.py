@@ -2252,6 +2252,71 @@ def tokens_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokens_contrastive_positives",
+    f"""
+    WITH t AS (SELECT doc_id, writer_id, ts FROM {_TOKENS_DUCK}),
+    b AS (SELECT doc_id AS anchor_id, writer_id,
+                 lead(doc_id) OVER w AS positive_id,
+                 epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+          FROM t
+          WINDOW w AS (PARTITION BY writer_id ORDER BY epoch_us(ts), doc_id))
+    SELECT anchor_id, writer_id, positive_id, gap_us
+    FROM b
+    WHERE positive_id IS NOT NULL AND gap_us <= 21600000000
+    """,
+)
+def tokens_contrastive_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive pairs for contrastive training: same writer, next doc
+    within 6h — one lead over the engine's standard entity window."""
+    from mhealth_spark.tokens_engine import contrastive_positives
+
+    return contrastive_positives(_tokens(spark))
+
+
+@register(
+    "tokens_writer_streaks",
+    f"""
+    WITH t AS (SELECT writer_id, ts FROM {_TOKENS_DUCK}),
+    d AS (SELECT DISTINCT writer_id, date_trunc('day', ts) AS day FROM t),
+    b AS (SELECT writer_id, day,
+                 epoch_us(day) // 86400000000 AS dn,
+                 row_number() OVER w AS rk,
+                 epoch_us(day) // 86400000000
+                     - first_value(epoch_us(day) // 86400000000) OVER w
+                     AS days_since_first,
+                 epoch_us(day) // 86400000000
+                     - lag(epoch_us(day) // 86400000000) OVER w
+                     AS days_since_prev,
+                 epoch_us(day) // 86400000000 - row_number() OVER w AS grp
+          FROM d
+          WINDOW w AS (PARTITION BY writer_id ORDER BY day))
+    SELECT writer_id, strftime(day, '{_TS_FMT_DUCK}') AS day_s,
+           CAST(days_since_first AS BIGINT) AS days_since_first,
+           CAST(days_since_prev AS BIGINT) AS days_since_prev,
+           CAST(rk AS BIGINT) AS active_day_rank,
+           CAST(row_number() OVER (PARTITION BY writer_id, grp ORDER BY dn)
+                AS BIGINT) AS streak_len
+    FROM b
+    """,
+)
+def tokens_writer_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-writer daily engagement features: consecutive-day streaks
+    (gaps-and-islands), days since previous/first active day, running
+    active-day count."""
+    from mhealth_spark.tokens_engine import writer_streaks
+
+    out = writer_streaks(_tokens(spark))
+    return out.select(
+        "writer_id",
+        F.date_format("day", _TS_FMT_SPARK).alias("day_s"),
+        "days_since_first",
+        "days_since_prev",
+        "active_day_rank",
+        "streak_len",
+    )
+
+
 _PF_K, _PF_EMB = 5, 24 * 3_600_000_000
 _PF_FOLD = " + ".join(
     f"(CASE WHEN us - t0 >= (({j} * span) // {_PF_K}) THEN 1 ELSE 0 END)"

@@ -916,6 +916,77 @@ def purged_folds(
     )
 
 
+def contrastive_positives(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+    max_gap_hours: float = 6.0,
+) -> DataFrame:
+    """Positive-pair generation for contrastive training — the twin of
+    ``corpus.contrastive_negatives``: each doc pairs with the SAME
+    writer's next doc when it arrives within ``max_gap_hours`` (temporal
+    adjacency as the supervision signal: same author, same sitting).
+    One lead over the per-entity window the whole engine already
+    partitions by (zero exchange over the bucketed layout), then a gap
+    filter; output ≤ n rows."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(entity_col).orderBy(us, "doc_id")
+    gap_us = F.lead(us, 1).over(w) - us
+    out = tokens.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col(entity_col),
+        F.lead("doc_id", 1).over(w).alias("positive_id"),
+        gap_us.alias("gap_us"),
+    )
+    return out.filter(
+        F.col("positive_id").isNotNull()
+        & (F.col("gap_us") <= int(max_gap_hours * 3_600_000_000))
+    )
+
+
+def writer_streaks(
+    tokens: DataFrame,
+    entity_col: str = "writer_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity activity/retention features on the daily grain —
+    gaps-and-islands: for each (entity, active day), the current
+    consecutive-day streak length, days since the previous active day,
+    days since first seen, and the running count of active days. The
+    standard engagement feature block (streaks via the
+    ``daynum − dense_rank`` island constant).
+
+    One distinct + two windows, all on the entity key; state bounded by
+    entities × active days."""
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    d = tokens.select(F.col(entity_col), day.alias("day")).distinct()
+    daynum = (F.unix_micros(F.col("day")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    w = Window.partitionBy(entity_col).orderBy(daynum)
+    grp = daynum - F.row_number().over(w)
+    b = d.select(
+        entity_col,
+        "day",
+        daynum.alias("_dn"),
+        (daynum - F.first(daynum).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )).alias("days_since_first"),
+        (daynum - F.lag(daynum, 1).over(w)).alias("days_since_prev"),
+        F.row_number().over(w).cast("long").alias("active_day_rank"),
+        grp.alias("_grp"),
+    )
+    ws = Window.partitionBy(entity_col, "_grp").orderBy("_dn")
+    return b.select(
+        entity_col,
+        "day",
+        "days_since_first",
+        "days_since_prev",
+        "active_day_rank",
+        F.row_number().over(ws).cast("long").alias("streak_len"),
+    )
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

@@ -602,3 +602,53 @@ def test_purged_folds_invariants_and_python_replay(spark):
     byf = got.groupby("fold").ts.agg(["min", "max"]).sort_index()
     for j in range(len(byf) - 1):
         assert byf["max"].iloc[j] < byf["min"].iloc[j + 1]
+
+
+def test_contrastive_positives_and_streaks_invariants(spark):
+    """positives: same-writer adjacent-in-time pairs within the gap
+    bound, each anchor at most once, positive strictly later. streaks:
+    python gaps-and-islands replay matches exactly."""
+    import datetime as ddt
+
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import contrastive_positives, writer_streaks
+
+    tk = synth_tokens(spark, 500, seed=29)
+    ev = tk.select("doc_id", "writer_id", "ts").toPandas()
+
+    pos = contrastive_positives(tk, max_gap_hours=6.0).toPandas()
+    assert len(pos) > 0
+    assert pos.anchor_id.is_unique
+    m = ev.set_index("doc_id")
+    for _, r in pos.iterrows():
+        a, p = m.loc[r.anchor_id], m.loc[r.positive_id]
+        assert a.writer_id == p.writer_id == r.writer_id
+        gap = (p.ts - a.ts).value // 1000
+        assert 0 <= gap <= 6 * 3_600_000_000 and gap == r.gap_us
+        # p is the NEXT doc: nothing by this writer strictly between
+        between = ev[
+            (ev.writer_id == r.writer_id)
+            & ((ev.ts > a.ts) | ((ev.ts == a.ts) & (ev.doc_id > r.anchor_id)))
+            & ((ev.ts < p.ts) | ((ev.ts == p.ts) & (ev.doc_id < r.positive_id)))
+        ]
+        assert len(between) == 0
+
+    got = writer_streaks(tk).toPandas()
+    ev["day"] = ev.ts.dt.floor("D")
+    for wid, grp in ev.groupby("writer_id"):
+        days = sorted(set(grp.day))
+        g = got[got.writer_id == wid].sort_values("day").reset_index(drop=True)
+        assert list(g.day) == days
+        streak = 0
+        prev = None
+        for i, d in enumerate(days):
+            gap = None if prev is None else (d - prev).days
+            streak = streak + 1 if gap == 1 else 1
+            row = g.iloc[i]
+            assert row.streak_len == streak, (wid, d)
+            assert row.active_day_rank == i + 1
+            assert row.days_since_first == (d - days[0]).days
+            assert (pd.isna(row.days_since_prev) and gap is None) or (
+                row.days_since_prev == gap
+            )
+            prev = d
