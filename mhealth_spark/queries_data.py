@@ -2253,6 +2253,57 @@ def tokens_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokens_trailing_corr",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    p AS (SELECT source,
+                 CASE WHEN ts = date_trunc('hour', ts)
+                      THEN date_trunc('hour', ts)
+                      ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR
+                 END AS hr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_tok) AS BIGINT) AS s
+          FROM t GROUP BY 1, 2),
+    b AS (SELECT source, hr, n,
+                 CAST(count(n) OVER w AS DOUBLE) AS m,
+                 CAST(sum(n) OVER w AS DOUBLE) AS sx,
+                 CAST(sum(s) OVER w AS DOUBLE) AS sy,
+                 CAST(sum(n * s) OVER w AS DOUBLE) AS sxy,
+                 CAST(sum(n * n) OVER w AS DOUBLE) AS sxx,
+                 CAST(sum(s * s) OVER w AS DOUBLE) AS syy
+          FROM p
+          WINDOW w AS (PARTITION BY source
+                       ORDER BY epoch_us(hr) // 3600000000
+                       RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT source, strftime(hr, '{_TS_FMT_DUCK}') AS req_ts,
+           n AS docs_this_hour,
+           CAST(m AS BIGINT) AS active_hours,
+           round(CASE WHEN m >= 2 AND m * sxx - sx * sx > 0
+                       AND m * syy - sy * sy > 0
+                      THEN (m * sxy - sx * sy)
+                           / (sqrt(m * sxx - sx * sx)
+                              * sqrt(m * syy - sy * sy)) END, 6)
+               AS corr_docs_tokens
+    FROM b
+    """,
+)
+def tokens_trailing_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24h Pearson correlation of docs/hour vs tokens/hour per
+    source — closed form from exact integer window sums, identical
+    expression on both engines."""
+    from mhealth_spark.tokens_engine import trailing_correlation
+
+    out = trailing_correlation(_tokens(spark))
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_this_hour",
+        "active_hours",
+        F.round("corr_docs_tokens", 6).alias("corr_docs_tokens"),
+    )
+
+
+@register(
     "tokens_contrastive_positives",
     f"""
     WITH t AS (SELECT doc_id, writer_id, ts FROM {_TOKENS_DUCK}),

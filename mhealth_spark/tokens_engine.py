@@ -987,6 +987,55 @@ def writer_streaks(
     )
 
 
+def trailing_correlation(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    window_hours: int = 24,
+) -> DataFrame:
+    """Trailing Pearson correlation between two per-entity hourly
+    series — docs/hour (x) vs tokens/hour (y) over the active hours
+    within the trailing ``window_hours``: the volume↔size interaction feature
+    ("are busy hours also long-form hours lately?"). Computed in closed
+    form from exact integer window sums (m, Σx, Σy, Σxy, Σx², Σy²) so
+    both engines evaluate one identical expression on identical
+    integers — the same no-streaming-variance trick as
+    ``expanding_entity_stats``. NULL when fewer than 2 active hours or
+    a degenerate (zero-variance) side. Grid-bounded: one hourly rollup,
+    one bounded range window."""
+    partials = hour_partials(tokens, entity_col, ts_col).select(
+        entity_col, "_hr", "_n", "_s"
+    )
+    hours_num = (F.unix_micros(F.col("_hr")) / 3.6e9).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(hours_num)
+        .rangeBetween(-(int(window_hours) - 1), 0)
+    )
+    x = F.col("_n")
+    y = F.col("_s")
+    m = F.count(x).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum(x * y).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    syy = F.sum(y * y).over(w).cast("double")
+    cov = m * sxy - sx * sy
+    vx = m * sxx - sx * sx
+    vy = m * syy - sy * sy
+    corr = F.when(
+        (m >= 2) & (vx > 0.0) & (vy > 0.0),
+        cov / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return partials.select(
+        entity_col,
+        F.col("_hr").alias("ts"),
+        F.col("_n").alias("docs_this_hour"),
+        m.cast("long").alias("active_hours"),
+        corr.alias("corr_docs_tokens"),
+    )
+
+
 def hourly_requests(tokens: DataFrame, entity_col: str = "source") -> DataFrame:
     """Deterministic request grid: one request per (entity, hour) over the
     observed span — the backfill workload for benchmarks."""

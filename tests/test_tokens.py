@@ -652,3 +652,43 @@ def test_contrastive_positives_and_streaks_invariants(spark):
                 row.days_since_prev == gap
             )
             prev = d
+
+
+def test_trailing_correlation_matches_numpy(spark):
+    """trailing_correlation must match numpy's corrcoef over the
+    brute-force reconstruction of each row's trailing-24h active-hour
+    (docs, tokens) points (1e-9 rel: different but equivalent closed
+    forms), with NULL exactly on m<2 or zero variance."""
+    import numpy as np
+
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import hour_partials, trailing_correlation
+
+    tk = synth_tokens(spark, 700, seed=41)
+    got = trailing_correlation(tk).toPandas()
+    parts = hour_partials(tk).toPandas()
+    parts["hn"] = parts._hr.astype("int64") // (3600 * 10**9)
+
+    checked_val = checked_null = 0
+    for _, r in got.iterrows():
+        hn = r.ts.value // (3600 * 10**9)
+        fr = parts[
+            (parts.source == r.source)
+            & (parts.hn >= hn - 23)
+            & (parts.hn <= hn)
+        ]
+        x = fr._n.to_numpy(float)
+        y = fr._s.to_numpy(float)
+        assert r.active_hours == len(x)
+        degenerate = len(x) < 2 or x.std() == 0 or y.std() == 0
+        if degenerate:
+            assert pd.isna(r.corr_docs_tokens), (r.source, r.ts)
+            checked_null += 1
+        else:
+            ref = np.corrcoef(x, y)[0, 1]
+            assert np.isclose(r.corr_docs_tokens, ref, rtol=1e-9), (
+                r.source,
+                r.ts,
+            )
+            checked_val += 1
+    assert checked_val > 200 and checked_null > 0
