@@ -155,3 +155,34 @@ def test_register_existing_layout_keeps_bucketing(spark, layout_table):
     finally:
         # external table: drop removes only the catalog entry
         spark.sql("DROP TABLE IF EXISTS tk_layout_ext")
+
+
+def test_new_feature_ops_plan_shapes(spark, layout_table):
+    """Scale-discipline audit for the round-3 feature ops: entity-keyed
+    window ops ride the bucketed layout exchange-free; grid ops carry
+    exactly their two bounded exchanges (partial rollup + grid window);
+    purged_folds is a pure map after its 2-value collect."""
+    from mhealth_spark.tokens_engine import (
+        contrastive_positives,
+        expanding_entity_stats,
+        purged_folds,
+        trailing_correlation,
+        trailing_quantiles,
+    )
+
+    sorted_bucket_scan(spark, True)
+    try:
+        for op in (trailing_quantiles, expanding_entity_stats,
+                   contrastive_positives):
+            plan = _plan(op(spark.table(layout_table)))
+            assert "Exchange" not in plan, (op.__name__, plan)
+    finally:
+        sorted_bucket_scan(spark, False)
+
+    tk = synth_tokens(spark, 5_000, seed=7)
+    plan = _plan(trailing_correlation(tk))
+    assert plan.count("Exchange") == 2, plan  # rollup + grid window
+    assert plan.count("Scan parquet") <= 1, plan
+
+    plan = _plan(purged_folds(tk))
+    assert "Exchange" not in plan, plan  # literals + pure map
