@@ -2083,6 +2083,68 @@ def tokens_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokens_training_set_multilabel",
+    f"""
+    WITH t AS (SELECT source, ts, n_tok FROM {_TOKENS_DUCK}),
+    span AS (SELECT source, date_trunc('hour', min(ts)) AS t0,
+                    date_trunc('hour', max(ts)) AS t1
+             FROM t GROUP BY 1),
+    r AS (SELECT source, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+          FROM span),
+    feat AS (
+      SELECT r.source AS source, r.ts AS ts,
+             count(e.n_tok)                 AS docs_24h,
+             CAST(sum(e.n_tok) AS BIGINT)   AS tokens_24h
+      FROM r LEFT JOIN t e
+        ON e.source = r.source
+       AND e.ts <= r.ts
+       AND epoch(e.ts) > epoch(r.ts) - 86400
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT r.source AS source, r.ts AS ts,
+             count(e.n_tok)               AS docs_next,
+             CAST(sum(e.n_tok) AS BIGINT) AS tokens_next,
+             CAST(epoch(min(e.ts)) - epoch(r.ts) AS BIGINT) AS first_gap_s,
+             count(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) <= epoch(r.ts) + 3600) AS docs_next_1h,
+             CAST(sum(e.n_tok) FILTER (
+                 WHERE epoch(e.ts) <= epoch(r.ts) + 3600) AS BIGINT)
+                 AS tokens_next_1h
+      FROM r LEFT JOIN t e
+        ON e.source = r.source
+       AND e.ts > r.ts
+       AND epoch(e.ts) <= epoch(r.ts) + 86400
+      GROUP BY 1, 2)
+    SELECT feat.source, strftime(feat.ts, '{_TS_FMT_DUCK}') AS req_ts,
+           docs_24h, tokens_24h,
+           docs_next, tokens_next, first_gap_s,
+           docs_next_1h, tokens_next_1h
+    FROM feat JOIN lab USING (source, ts)
+    """,
+)
+def tokens_training_set_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-task label heads from the same one-scan grid rollup: the
+    24h label block plus a 1h head (predict next hour AND next day) —
+    one extra leading window per horizon, no extra event-table work."""
+    from mhealth_spark.tokens_engine import training_set_grid
+
+    out = training_set_grid(
+        _tokens(spark), lookbacks_hours=(24,), extra_label_horizons=(1,)
+    )
+    return out.select(
+        "source",
+        F.date_format("ts", _TS_FMT_SPARK).alias("req_ts"),
+        "docs_24h",
+        "tokens_24h",
+        "docs_next",
+        "tokens_next",
+        "first_gap_s",
+        "docs_next_1h",
+        "tokens_next_1h",
+    )
+
+
 # incremental-ingest path: the corpus split into 3 arrival batches by
 # doc hash, each rolled up ALONE, partials merged (commutative monoid),
 # training set assembled from the merged partials — must equal the

@@ -553,6 +553,7 @@ def training_set_grid(
     lookbacks_hours: tuple[int, ...] = (1, 24),
     horizon_hours: int = 24,
     partials: DataFrame | None = None,
+    extra_label_horizons: tuple[int, ...] = (),
 ) -> DataFrame:
     """Grid-scale twin of ``training_set`` for the dense hourly request
     grid — the whole leakage-clean training row from ONE scan of the
@@ -631,6 +632,22 @@ def training_set_grid(
             - F.unix_timestamp(F.col("_hr"))
         ).alias("first_gap_s"),
     ]
+    # multi-task label heads: one more leading window per extra horizon
+    # over the SAME partial table — K label horizons, still one scan
+    for h in sorted(set(int(x) for x in extra_label_horizons)):
+        if h == int(horizon_hours):
+            continue
+        wfh = (
+            Window.partitionBy(entity_col)
+            .orderBy(hours_num)
+            .rangeBetween(1, h)
+        )
+        cols += [
+            F.coalesce(F.sum("_n").over(wfh), F.lit(0)).alias(
+                f"docs_next_{h}h"
+            ),
+            F.sum("_s").over(wfh).alias(f"tokens_next_{h}h"),
+        ]
     return (
         dense.select(
             F.col(entity_col), F.col("_hr").alias("ts"), F.col("_req"), *cols

@@ -692,3 +692,33 @@ def test_trailing_correlation_matches_numpy(spark):
             )
             checked_val += 1
     assert checked_val > 200 and checked_null > 0
+
+
+def test_multilabel_heads_consistent_with_single_horizon(spark):
+    """The 1h label head from extra_label_horizons must equal an
+    independent label_horizon_features run at horizon=1h, and nest
+    within the 24h head."""
+    from mhealth_spark.synth import synth_tokens
+    from mhealth_spark.tokens_engine import (
+        hourly_requests,
+        label_horizon_features,
+        training_set_grid,
+    )
+
+    tk = synth_tokens(spark, 700, seed=37)
+    got = (
+        training_set_grid(tk, extra_label_horizons=(1,))
+        .toPandas()
+        .set_index(["source", "ts"])
+    )
+    ref = (
+        label_horizon_features(tk, hourly_requests(tk), horizon_hours=1.0)
+        .toPandas()
+        .set_index(["source", "ts"])
+    )
+    assert set(got.index) == set(ref.index)
+    g = got.loc[ref.index]
+    assert (g.docs_next_1h == ref.docs_next).all()
+    both_null = g.tokens_next_1h.isna() & ref.tokens_next.isna()
+    assert (both_null | (g.tokens_next_1h == ref.tokens_next)).all()
+    assert (g.docs_next_1h <= g.docs_next).all()
