@@ -186,3 +186,16 @@ def test_new_feature_ops_plan_shapes(spark, layout_table):
 
     plan = _plan(purged_folds(tk))
     assert "Exchange" not in plan, plan  # literals + pure map
+
+
+def test_multilabel_grid_adds_no_exchange(spark):
+    """Every extra label horizon is one more leading window over the
+    SAME grid partitioning — the exchange count must not grow."""
+    from mhealth_spark.tokens_engine import training_set_grid
+
+    tk = synth_tokens(spark, 5_000, seed=7)
+    base = _plan(training_set_grid(tk)).count("Exchange")
+    multi = _plan(
+        training_set_grid(tk, extra_label_horizons=(1, 6))
+    ).count("Exchange")
+    assert multi == base, (base, multi)
