@@ -777,6 +777,55 @@ def stream_stream_labels(
     )
 
 
+def stream_hour_partials(
+    tokens: DataFrame,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming face of ``tokens_engine.hour_partials``: maintain the
+    (entity, hour-ceiling] monoid rollup from a LIVE event stream — one
+    watermarked windowed aggregation emitting each hour's finalized
+    partial row (count / token sum / max length / min+max event ts) in
+    append mode. Feed the emitted rows straight into
+    ``merge_hour_partials`` against the persisted partial table and
+    assemble features with ``training_set_grid(partials=...)`` — the
+    full online ingest loop with NO history rescans, pytest-proven
+    equal to the one-shot batch build on closed hours.
+
+    Boundary parity with the batch op: the batch partial keys by hour
+    CEILING with an exactly-on-the-hour event in the LOWER interval;
+    ``window()`` is floor-based, so the event time is shifted back 1 µs
+    before windowing — ts ∈ (H-1h, H] lands in [H-1h, H) and the
+    window END is exactly the batch ``_hr``."""
+    t = F.col(ts_col).cast("timestamp")
+    shifted = t - F.expr("INTERVAL 1 MICROSECOND")
+    return (
+        tokens.withColumn("_ts", t)
+        .withColumn("_tsw", shifted)
+        .withWatermark("_tsw", watermark)
+        .groupBy(
+            F.col(entity_col), F.window("_tsw", "1 hour").alias("_w")
+        )
+        .agg(
+            F.count("n_tok").alias("_n"),
+            F.sum("n_tok").alias("_s"),
+            F.max("n_tok").alias("_mx"),
+            F.min("_ts").alias("_mnts"),
+            F.max("_ts").alias("_mxts"),
+        )
+        .select(
+            entity_col,
+            F.col("_w.end").alias("_hr"),
+            "_n",
+            "_s",
+            "_mx",
+            "_mnts",
+            "_mxts",
+        )
+    )
+
+
 def stream_drift_psi(
     docs: DataFrame,
     baseline: dict[str, list[int]],

@@ -988,3 +988,87 @@ def test_stream_drift_psi_matches_python(spark, tmp_path):
     stable = got[got.day.dt.date < ddt.date(2024, 1, 6)]
     if len(shifted):
         assert shifted.psi.min() > 3 * stable.psi.max()
+
+
+def test_stream_hour_partials_online_ingest_loop(spark, tmp_path):
+    """The full online ingest loop: stream_hour_partials over a live
+    batch must equal batch hour_partials field-for-field on every
+    emitted (closed) hour — including events exactly on the hour
+    boundary — and merging the streamed partials into a persisted
+    partial table then assembling training_set_grid must equal the
+    one-shot batch build on the covered grid."""
+    import datetime as ddt
+
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import (
+        hour_partials,
+        merge_hour_partials,
+        training_set_grid,
+    )
+    from mhealth_spark.streaming import stream_hour_partials
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 500, seed=19))
+    # plant an exactly-on-the-hour event (the ceiling-boundary case)
+    extra = spark.createDataFrame(
+        [("boundary-doc", [1, 2, 3], 3, "src0", "w0",
+          ddt.datetime(2024, 1, 2, 5, 0, 0))],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "writer_id string, ts timestamp_ntz",
+    )
+    events = events.unionByName(extra)
+
+    cut = ddt.datetime(2024, 1, 4)
+    old = events.filter(F.col("ts") < F.lit(cut))
+    new = events.filter(F.col("ts") >= F.lit(cut))
+    assert old.count() > 0 and new.count() > 0
+
+    path = str(tmp_path / "new_events")
+    new.write.parquet(path)
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        stream_hour_partials(stream)
+        .writeStream.format("memory")
+        .queryName("t_hp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM t_hp").toPandas()
+    ref = hour_partials(new).toPandas()
+    key = ["source", "_hr"]
+    g = got.set_index(key).sort_index()
+    r = ref.set_index(key).sort_index()
+    # append mode may withhold the watermark tail; everything emitted
+    # must be exact, and coverage must be substantial
+    assert set(g.index) <= set(r.index)
+    assert len(g) >= 0.8 * len(r)
+    rr = r.loc[g.index]
+    for col in ("_n", "_s", "_mx", "_mnts", "_mxts"):
+        assert (g[col] == rr[col]).all(), col
+
+    # merge the STREAMED partials into the persisted old-partial table
+    streamed = spark.createDataFrame(got)
+    for c in ("_mnts", "_mxts", "_hr"):
+        streamed = streamed.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    merged = merge_hour_partials(hour_partials(old), streamed)
+    inc = training_set_grid(None, partials=merged).toPandas()
+    emitted_hours = set(map(tuple, got[key].itertuples(index=False)))
+    full_parts = hour_partials(events).toPandas()
+    covered = full_parts[
+        full_parts.apply(
+            lambda x: x._hr < cut or (x.source, x._hr) in emitted_hours,
+            axis=1,
+        )
+    ]
+    cov_spark = spark.createDataFrame(covered)
+    for c in ("_mnts", "_mxts", "_hr"):
+        cov_spark = cov_spark.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    ref_ts = training_set_grid(None, partials=cov_spark).toPandas()
+    a = inc.sort_values(["source", "ts"]).reset_index(drop=True)
+    b = ref_ts.sort_values(["source", "ts"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for col in a.columns:
+        x, y = a[col], b[col]
+        both_null = x.isna() & y.isna()
+        assert (both_null | (x == y)).all(), col
