@@ -664,6 +664,7 @@ def build_corpus(
     span_dup_threshold: float | None = None,
     dsir_target_expr: str | None = None,
     dsir_min_weight: float | None = None,
+    audit: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """End-to-end corpus build — the whole pipeline in one call, in the
     canonical order a pretraining build runs it:
@@ -688,11 +689,16 @@ def build_corpus(
     8. train/val/test hash split (if ``split_weights`` given)
 
     Returns (final DataFrame, audit dict of per-stage surviving counts).
-    The audit counts run one action per stage — acceptable for a batch
-    build job (each stage's output is work the next stage consumes
-    anyway); pass through ``.cache()`` upstream if re-running stages.
-    Every stage is deterministic (content hashes, no RNG), so a resumed
-    or re-planned build keeps identical documents.
+    With ``audit=True`` (default) each stage boundary is
+    ``localCheckpoint``-ed before its count, so the per-stage actions
+    read the materialized stage output instead of recomputing the whole
+    upstream chain per count (7 uncached counts re-ran the quality
+    filter ~7x — invisible at sandbox scale, a multiple of the whole
+    pipeline cost at 100 TB), and every later stage starts from the
+    checkpointed frame. ``audit=False`` skips both the counts and the
+    checkpoints and returns an empty dict — the fully lazy single-action
+    build. Every stage is deterministic (content hashes, no RNG), so a
+    resumed or re-planned build keeps identical documents.
     """
     from mhealth_spark.pipelines.dedup import (
         exact_dedup_groups,
@@ -708,31 +714,45 @@ def build_corpus(
             "column; input has none (pass sample_alpha=None or add it)"
         )
 
-    audit: dict[str, int] = {"input": docs.count()}
+    counts: dict[str, int] = {}
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        """Stage boundary: with audit on, materialize the stage output
+        once (localCheckpoint truncates the lineage), count the
+        checkpointed blocks, and hand the materialized frame to the
+        next stage — each audit action costs one stage, not the whole
+        upstream chain."""
+        if not audit:
+            return df
+        df = df.localCheckpoint(eager=True)
+        counts[name] = df.count()
+        return df
+
+    if audit:
+        counts["input"] = docs.count()
 
     flags = quality_filter(docs, text_col, id_col, **(quality_overrides or {}))
     keep = flags.filter("keep").select(id_col)
-    cur = docs.join(keep, id_col, "left_semi")
-    audit["after_quality"] = cur.count()
+    cur = _stage(docs.join(keep, id_col, "left_semi"), "after_quality")
 
     if dsir_target_expr is not None and dsir_min_weight is not None:
         w = dsir_weights(cur, dsir_target_expr, text_col, id_col)
         sel = w.filter(
             F.col("is_target") | (F.col("dsir_weight") >= dsir_min_weight)
         ).select(id_col)
-        cur = cur.join(sel, id_col, "left_semi")
-        audit["after_dsir"] = cur.count()
+        cur = _stage(cur.join(sel, id_col, "left_semi"), "after_dsir")
 
     if benchmark is not None:
-        cur = decontaminate(cur, benchmark, text_col, id_col)
-        audit["after_decontaminate"] = cur.count()
+        cur = _stage(
+            decontaminate(cur, benchmark, text_col, id_col),
+            "after_decontaminate",
+        )
 
     groups = exact_dedup_groups(cur, id_col, text_col)
     exact_keep = groups.filter(
         F.col(id_col) == F.col("keep_id")
     ).select(id_col)
-    cur = cur.join(exact_keep, id_col, "left_semi")
-    audit["after_exact_dedup"] = cur.count()
+    cur = _stage(cur.join(exact_keep, id_col, "left_semi"), "after_exact_dedup")
 
     pairs = minhash_lsh_candidates(cur, id_col, text_col)
     if fuzzy_verify_threshold is not None:
@@ -745,8 +765,7 @@ def build_corpus(
     # rename to the caller's id_col so a non-default key works end-to-end
     comp = neardup_components(pairs).withColumnRenamed("doc_id", id_col)
     drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    cur = cur.join(drop, id_col, "left_anti")
-    audit["after_fuzzy_dedup"] = cur.count()
+    cur = _stage(cur.join(drop, id_col, "left_anti"), "after_fuzzy_dedup")
 
     if span_dup_threshold is not None:
         from mhealth_spark.pipelines.dedup import span_dedup_stats
@@ -755,22 +774,23 @@ def build_corpus(
         heavy = stats.filter(
             F.col("dup_frac") > span_dup_threshold
         ).select(id_col)
-        cur = cur.join(heavy, id_col, "left_anti")
-        audit["after_span_dedup"] = cur.count()
+        cur = _stage(cur.join(heavy, id_col, "left_anti"), "after_span_dedup")
 
     if sample_alpha is not None:
         rates = temperature_rates(
             cur.withColumn("n_tok", F.size(F.split(text_col, r"\s+"))),
             alpha=sample_alpha,
         )
-        cur = sample_corpus(
-            cur, rate=0.0, strata_col="source", strata_rates=rates
+        cur = _stage(
+            sample_corpus(
+                cur, rate=0.0, strata_col="source", strata_rates=rates
+            ),
+            "after_sampling",
         )
-        audit["after_sampling"] = cur.count()
 
     if split_weights is not None:
         cur = split_corpus(cur, split_weights, id_col)
-    return cur, audit
+    return cur, counts
 
 
 def curriculum_buckets(
@@ -1168,9 +1188,11 @@ def ngram_diversity(
     tokens_col: str = "tokens",
     source_col: str = "source",
     pack_base: int = 1 << 20,
+    exact: bool = True,
+    approx_rsd: float = 0.01,
 ) -> DataFrame:
     """Per-source token-trigram diversity: total trigrams, distinct
-    trigrams, and exact distinct-ppm — the self-repetition audit over
+    trigrams, and distinct-ppm — the self-repetition audit over
     the pre-tokenized table (low diversity flags templated/boilerplate
     sources before they flood a mixture; the token-level twin of the
     word-level ``source_curation_stats``).
@@ -1180,7 +1202,17 @@ def ngram_diversity(
     the distinct pass shuffles fixed-width integers only: distinct on
     (source, packed) with map-side combine, then a count per source.
     ``pack_base`` must exceed the vocab size; base^3 must stay under
-    2^63 (default 2^20 -> 2^60)."""
+    2^63 (default 2^20 -> 2^60).
+
+    ``exact=True`` is the oracle tier: an EXACT distinct still shuffles
+    every surviving (source, trigram) pair corpus-wide — fine to sf1,
+    the wrong shape at 100 TB. ``exact=False`` is the scale tier:
+    ``approx_count_distinct`` (HyperLogLog++ at ``approx_rsd`` relative
+    standard deviation, default 1%) folds the distinct into the SAME
+    single per-source aggregation as the total — map-side sketch
+    partials, one source-keyed exchange of fixed-size sketches, no
+    trigram-level shuffle at all. A diversity audit is a ratio read at
+    ppm granularity; 1% rsd does not change any curation decision."""
     V = F.lit(pack_base)
     t = F.col(tokens_col)
     n = F.size(t)
@@ -1196,6 +1228,21 @@ def ngram_diversity(
     ex = tokens.filter(n >= 3).select(
         F.col(source_col).alias("source"), F.explode(p123).alias("g")
     )
+    if not exact:
+        # scale tier: one aggregation, sketch-sized shuffle
+        return ex.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.approx_count_distinct("g", approx_rsd)
+            .cast("long")
+            .alias("n_distinct"),
+        ).select(
+            "source",
+            "n_ngrams",
+            "n_distinct",
+            F.expr("CAST((n_distinct * 1000000) DIV n_ngrams AS BIGINT)").alias(
+                "distinct_ppm"
+            ),
+        )
     totals = ex.groupBy("source").agg(F.count("*").cast("long").alias("n_ngrams"))
     distinct = (
         ex.distinct()

@@ -1219,10 +1219,17 @@ def cdc_dup_stats(
     text_col: str = "text",
     window: int = 4,
     boundary_hex: tuple[str, ...] = ("0",),
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Per-doc CDC dedup stats: how much of each document is made of
     chunks that also occur in ANOTHER document. ``(id, n_chunks,
-    n_dup_chunks, n_words, n_dup_words, dup_word_ratio)``."""
+    n_dup_chunks, n_words, n_dup_words, dup_word_ratio)``.
+
+    The duplicated-chunk-hash set is corpus-dependent and unbounded: on
+    a boilerplate-heavy 100 TB crawl it can far exceed the broadcast
+    budget. ``broadcast_dups=False`` switches the hit-marking semi-join
+    to a shuffled join — same results, same pattern as
+    ``span_dedup_stats``/``span_dedup_mask``."""
     ch = cdc_chunks(docs, id_col, text_col, window, boundary_hex)
     # chunk hashes seen in >= 2 distinct docs; distinct-per-doc first so
     # a doc repeating its own chunk does not self-mark
@@ -1234,7 +1241,9 @@ def cdc_dup_stats(
         .filter(F.col("_nd") >= 2)
         .select("chunk_hash")
     )
-    marked = ch.join(F.broadcast(shared), "chunk_hash", "left_semi").select(
+    if broadcast_dups:
+        shared = F.broadcast(shared)
+    marked = ch.join(shared, "chunk_hash", "left_semi").select(
         id_col, "chunk_id", "n_words"
     )
     per_doc = ch.groupBy(id_col).agg(

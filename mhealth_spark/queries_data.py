@@ -237,7 +237,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(w) > 0),
     dups AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
     SELECT s.doc_id,
-           list_sort(list(s.pos)) AS dup_positions,
+           array_to_string(list_sort(list(s.pos)), ',') AS dup_positions,
            CAST(count(*) AS INT) AS n_dup_spans
     FROM spans s JOIN dups USING (h)
     GROUP BY s.doc_id
@@ -246,8 +246,21 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trim-mask form of span dedup: per doc, the sorted word positions
     opening a span that also occurs in another document (expand each to
-    [p, p+12) and cut the union to de-duplicate substrings in place)."""
-    return dedup.span_dedup_mask(_docs(spark, sf_dir), span=12, min_docs=2)
+    [p, p+12) and cut the union to de-duplicate substrings in place).
+
+    The underlying ``span_dedup_mask`` API returns ``dup_positions`` as
+    ``array<int>``; the registered query serializes it to a
+    comma-joined string because the driver's oracle canonicalizer
+    sorts rows over all columns and cannot hash list-typed cells
+    (round-3 red row)."""
+    out = dedup.span_dedup_mask(_docs(spark, sf_dir), span=12, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("dup_positions").cast("array<string>"), ",").alias(
+            "dup_positions"
+        ),
+        "n_dup_spans",
+    )
 
 
 @register(

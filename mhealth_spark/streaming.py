@@ -25,6 +25,61 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+_INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Total seconds of a Spark watermark delay-threshold string
+    (``'2 hours'``, ``'90 seconds'``, ``'1 day 6 hours'``), rounded up —
+    watermark arithmetic must never UNDER-estimate event lateness."""
+    import math
+    import re
+
+    total = 0.0
+    matched = False
+    for num, unit in re.findall(
+        r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", interval.strip().lower()
+    ):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_UNIT_SECONDS:
+            raise ValueError(f"unsupported interval unit {unit!r} in {interval!r}")
+        total += float(num) * _INTERVAL_UNIT_SECONDS[unit]
+        matched = True
+    if not matched:
+        raise ValueError(f"cannot parse interval string {interval!r}")
+    return math.ceil(total)
+
+
+def _round_half_up(a, dp: int = 9):
+    """Decimal HALF_UP rounding of a float64 array, matching Spark
+    ``F.round``'s BigDecimal path bit-for-bit: BigDecimal.valueOf goes
+    through Double.toString (the shortest round-trip repr, same as
+    Python ``repr``), then setScale(dp, HALF_UP). ``np.round`` is
+    round-half-EVEN on the float path and diverges by 1 ulp on exact
+    half boundaries — the divergence class fixed repo-wide in ea9ae3c."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    arr = np.asarray(a, dtype=np.float64)
+    flat = arr.ravel()
+    out = np.empty(flat.shape, dtype=np.float64)
+    for i, x in enumerate(flat.tolist()):
+        out[i] = (
+            float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+            if x == x and abs(x) != float("inf")
+            else x
+        )
+    return out.reshape(arr.shape)
+
 
 def stream_tumbling_stats(
     events: DataFrame,
@@ -740,7 +795,13 @@ def stream_stream_labels(
     batch ``label_horizon_features`` on every emitted row is
     pytest-proven."""
     if request_watermark is None:
-        request_watermark = f"{int(horizon_hours * 3600) + 7200} seconds"
+        # derive from the ACTUAL event watermark — a hard-coded 7200 s
+        # would only satisfy "request watermark >= horizon + event
+        # lateness" for the default event_watermark='2 hours'
+        request_watermark = (
+            f"{int(horizon_hours * 3600) + _interval_seconds(event_watermark)}"
+            " seconds"
+        )
     r = (
         requests.withColumn(request_ts, F.col(request_ts).cast("timestamp"))
         .withWatermark(request_ts, request_watermark)
@@ -978,7 +1039,7 @@ def stream_ann_serve(
         out = []
         for qid, v in zip(qids, vecs):
             qv = np.asarray(v, dtype=np.float64)
-            cos = np.round(cents @ qv / (cnorm * np.linalg.norm(qv)), 9)
+            cos = _round_half_up(cents @ qv / (cnorm * np.linalg.norm(qv)), 9)
             probed = sorted(range(len(cents)), key=lambda i: (-cos[i], i))[
                 :n_probe
             ]
@@ -990,7 +1051,7 @@ def stream_ann_serve(
                 qr = qv - cents[cid]
                 lut = np.stack(
                     [
-                        np.round(
+                        _round_half_up(
                             ((cb[m] - qr[m * ds : (m + 1) * ds]) ** 2).sum(
                                 axis=1
                             ),
@@ -1012,7 +1073,7 @@ def stream_ann_serve(
                 continue
             cand_ids = np.concatenate(cand_ids)
             cand_adc = np.concatenate(cand_adc)
-            key = np.lexsort((cand_ids, np.round(cand_adc, 9)))[:k]
+            key = np.lexsort((cand_ids, _round_half_up(cand_adc, 9)))[:k]
             out.append(
                 [
                     {

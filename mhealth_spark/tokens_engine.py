@@ -686,7 +686,10 @@ def expanding_entity_stats(
     x = F.col(value_col)
     n = F.count(x).over(w)
     s = F.sum(x).over(w).cast("double")
-    s2 = F.sum(x * x).over(w).cast("double")
+    # square in LONG: an int32 value_col would compute x*x in int and
+    # silently wrap past 46340 in non-ANSI mode, corrupting exp_std/exp_z
+    xl = x.cast("long")
+    s2 = F.sum(xl * xl).over(w).cast("double")
     nd = n.cast("double")
     var = (s2 - s * s / nd) / (nd - F.lit(1.0))
     std = F.when(n >= 2, F.sqrt(var))

@@ -1,0 +1,219 @@
+"""Round-4 regression tests: the VERDICT r3 / ADVICE r3 punch list.
+
+Covers: cdc_dup_stats shuffled-join fallback, build_corpus checkpointed
+audit, ngram_diversity approx (HLL) tier, stream_stream_labels watermark
+derivation, expanding-stats int-overflow fix, and the HALF_UP rounding
+helper's bit-parity with Spark F.round.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #4 — cdc_dup_stats broadcast fallback
+# ---------------------------------------------------------------------------
+def test_cdc_dup_stats_fallback_identical(spark):
+    """The shuffled-join tier (broadcast_dups=False) must emit exactly
+    the broadcast tier's stats — same pattern as the span/line dedup
+    fallbacks."""
+    from mhealth_spark.pipelines.dedup import cdc_dup_stats
+
+    base = " ".join(f"w{i % 7}" for i in range(60))
+    rows = [
+        (1, base + " alpha beta gamma"),
+        (2, "x y z " + base),
+        (3, " ".join(f"u{i}" for i in range(40))),
+        (4, base),
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    bc = canon(cdc_dup_stats(docs, broadcast_dups=True))
+    sh = canon(cdc_dup_stats(docs, broadcast_dups=False))
+    assert bc == sh
+    # the shared base text must actually mark duplicated chunks
+    by_id = {t[0]: t for t in bc}
+    assert by_id[1][2] > 0 and by_id[2][2] > 0  # n_dup_chunks
+    assert by_id[5][2] == 0
+
+
+def test_cdc_dup_stats_fallback_plan_has_no_broadcast(spark):
+    """broadcast_dups=False must not plan a BroadcastHashJoin for the
+    hit-marking semi-join (the whole point of the fallback)."""
+    from mhealth_spark.pipelines.dedup import cdc_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    plan = cdc_dup_stats(docs, broadcast_dups=False)._jdf.queryExecution().toString()
+    # LeftSemi joins appear twice (dup-hash mark + final assembly); none
+    # of the semi joins may be broadcast in fallback mode
+    for line in plan.splitlines():
+        if "LeftSemi" in line:
+            assert "Broadcast" not in line, line
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #5 — build_corpus audit no longer recomputes the chain
+# ---------------------------------------------------------------------------
+def test_build_corpus_audit_checkpointed(spark):
+    """audit=True must hand each stage a localCheckpoint-ed frame (the
+    returned plan reads materialized blocks, not the recomputed chain),
+    and audit=False must return the identical documents with no counts."""
+    from mhealth_spark.pipelines.corpus import build_corpus
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    out_a, counts = build_corpus(docs, sample_alpha=0.7)
+    # every stage that ran recorded a count, computed from a checkpoint:
+    # the returned frame's physical plan scans the checkpointed RDD
+    plan = out_a._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert counts["input"] >= counts["after_quality"] >= counts["after_sampling"]
+    assert set(counts) == {
+        "input",
+        "after_quality",
+        "after_exact_dedup",
+        "after_fuzzy_dedup",
+        "after_sampling",
+    }
+
+    out_b, empty = build_corpus(docs, sample_alpha=0.7, audit=False)
+    assert empty == {}
+    ids_a = sorted(r[0] for r in out_a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in out_b.select("doc_id").collect())
+    assert ids_a == ids_b
+    assert len(ids_a) == counts["after_sampling"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #6 — ngram_diversity approx tier
+# ---------------------------------------------------------------------------
+def test_ngram_diversity_approx_within_rsd(spark):
+    """The HLL tier must agree with the exact tier within a few rsd on
+    every source, and its plan must contain no join and no second
+    shuffle of trigram-level rows (one aggregation only)."""
+    from mhealth_spark.pipelines.corpus import ngram_diversity
+    from mhealth_spark.synth import materialize_synth_tokens
+
+    toks = spark.read.parquet(materialize_synth_tokens(spark, 3000, seed=42))
+    exact = {
+        r["source"]: r for r in ngram_diversity(toks, exact=True).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in ngram_diversity(toks, exact=False, approx_rsd=0.01).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n_ngrams"] == e["n_ngrams"]  # totals are exact either way
+        rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+        assert rel < 0.05, (src, a["n_distinct"], e["n_distinct"])
+    plan = ngram_diversity(toks, exact=False)._jdf.queryExecution().toString()
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 — stream_stream_labels watermark derivation
+# ---------------------------------------------------------------------------
+def test_interval_seconds_parser():
+    from mhealth_spark.streaming import _interval_seconds
+
+    assert _interval_seconds("2 hours") == 7200
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("1 day 6 hours") == 108000
+    assert _interval_seconds("30 minutes") == 1800
+    assert _interval_seconds("1 week") == 604800
+    assert _interval_seconds("500 milliseconds") == 1  # rounds UP
+    with pytest.raises(ValueError):
+        _interval_seconds("fortnight")
+    with pytest.raises(ValueError):
+        _interval_seconds("3 parsecs")
+
+
+def test_stream_labels_watermark_tracks_event_watermark(spark):
+    """With event_watermark='6 hours' and horizon 24 h, the derived
+    request watermark must be 24 h + 6 h = 108000 s (not the old
+    hard-coded +7200), visible in the analyzed plan's
+    EventTimeWatermark node."""
+    from mhealth_spark.streaming import stream_stream_labels
+
+    schema = "source string, ts timestamp, n_tok int"
+    req = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS source", "timestamp AS ts"
+    )
+    ev = spark.readStream.format("rate").load().selectExpr(
+        "CAST(value AS STRING) AS source",
+        "timestamp AS ts",
+        "CAST(value AS INT) AS n_tok",
+    )
+    out = stream_stream_labels(
+        req, ev, horizon_hours=24.0, event_watermark="6 hours"
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # 108000 s pretty-prints as "30 hours" in the EventTimeWatermark
+    # node and as a -T108000000ms column annotation
+    assert "30 hours" in plan or "T108000000ms" in plan, plan
+    _ = schema  # silence linters; schema documents the shape
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 — expanding stats: square in long, not int
+# ---------------------------------------------------------------------------
+def test_expanding_stats_no_int32_overflow(spark):
+    """n_tok values > 46340 square past int32; the prefix sum of squares
+    must be exact (long) so exp_std matches numpy's strictly-prior
+    sample std."""
+    from mhealth_spark.tokens_engine import expanding_entity_stats
+
+    vals = [100_000, 120_000, 90_000, 150_000, 110_000]
+    rows = [
+        (i, "w1", f"2024-01-0{i + 1} 00:00:00", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, writer_id string, ts string, n_tok int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in expanding_entity_stats(df).collect()
+    }
+    for i in range(2, len(vals)):
+        prior = np.array(vals[:i], dtype=np.float64)
+        want = prior.std(ddof=1)
+        assert got[i]["exp_std"] == pytest.approx(want, rel=1e-12), i
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 — _round_half_up ≡ Spark F.round
+# ---------------------------------------------------------------------------
+def test_round_half_up_matches_spark_round(spark):
+    """On exact 9-dp half boundaries (where np.round goes half-even) and
+    on random doubles, the numpy-side helper must equal Spark F.round
+    bit-for-bit."""
+    from mhealth_spark.streaming import _round_half_up
+
+    rng = np.random.RandomState(7)
+    vals = list(rng.uniform(-2, 2, 200))
+    # exact half-boundary cases: k + 5e-10 landing on .5 at 9 dp
+    vals += [1.5e-9, 2.5e-9, -1.5e-9, -2.5e-9, 0.1234567895, -0.1234567885]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    spark_side = [r[0] for r in df.select(F.round("x", 9)).collect()]
+    np_side = _round_half_up(np.array(vals), 9)
+    for s, n, v in zip(spark_side, np_side, vals):
+        assert s == n, (v, s, n)
+    # non-finite passthrough
+    out = _round_half_up(np.array([math.nan, math.inf, -math.inf]), 9)
+    assert math.isnan(out[0]) and out[1] == math.inf and out[2] == -math.inf

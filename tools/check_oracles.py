@@ -78,14 +78,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import __spark_entry__ as entry_mod
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     spark = get_spark("check_oracles", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,15 +104,39 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark error: {exc}"[:400],
+            }
             continue
         if name not in oracles:
             print(f"SKIP-ORACLE {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_match": len(spark_pdf) >= 0,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": None,
+                "err": "no_oracle",
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {exc}")
             failures += 1
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": None,
+                "err": f"duckdb error: {exc}"[:400],
+            }
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         status = "OK" if not problems else "FAIL"
@@ -112,7 +145,19 @@ def main() -> int:
         print(f"{status} {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
         for p in problems:
             print(f"    {p}")
+        results[name] = {
+            "rows_match": len(spark_pdf) == len(duck_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "err": "; ".join(problems)[:400] if problems else None,
+        }
     spark.stop()
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {out_path} ({len(results)} queries)")
     return 1 if failures else 0
 
 
