@@ -134,6 +134,9 @@ def run_cell(cores: int, cfg: dict) -> dict:
 
 
 def main() -> None:
+    if "--report-only" in sys.argv:
+        write_report(load_cells())
+        return
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     cells: dict[tuple[int, str], dict] = {}
     for rnd in range(rounds):
@@ -162,7 +165,21 @@ def main() -> None:
                     f"(shuffle {r['shuffle_dir_bytes'] or 0 >> 20} B)",
                     flush=True,
                 )
-    write_report(cells)
+    write_report(load_cells())
+
+
+def load_cells() -> dict:
+    """Min-merge every raw row ever recorded (same protocol as
+    BENCH/scaling_history.jsonl: host steal only adds time)."""
+    cells: dict[tuple[int, str], dict] = {}
+    with open(RAW) as fh:
+        for line in fh:
+            r = json.loads(line)
+            key = (r["cores"], r["config"])
+            prev = cells.get(key)
+            if prev is None or r["sec"] < prev["sec"]:
+                cells[key] = r
+    return cells
 
 
 def write_report(cells: dict) -> None:
@@ -196,35 +213,55 @@ def write_report(cells: dict) -> None:
             f"{s8 / s32:.2f}x | {b32 / gb:.2f} |"
         )
     base8, base32 = g(8, "base"), g(32, "base")
-    nc32 = g(32, "nocompress")
-    p256_32 = g(32, "part256")
-    q32 = g(32, "quarter")
-    bbytes = cells[(32, "base")].get("shuffle_dir_bytes") or 1
-    ncbytes = cells[(32, "nocompress")].get("shuffle_dir_bytes") or 1
+    nc8, nc32 = g(8, "nocompress"), g(32, "nocompress")
+    p256_8, p256_32 = g(8, "part256"), g(32, "part256")
+    q8, q32 = g(8, "quarter"), g(32, "quarter")
+    # floor + bandwidth model: wall(level) = floor + bytes/bw(level),
+    # fitted from (base, quarter) which differ ONLY in scan bytes (4:1)
+    floor32 = (4 * q32 - base32) / 3
+    floor8 = (4 * q8 - base8) / 3
+    pred_q32 = floor32 + (base32 - floor32) / 4
+    pred_q8 = floor8 + (base8 - floor8) / 4
     lines += [
         "",
         "Reading:",
         "",
+        f"- **the tier's shuffle is grid-bounded and tiny by design** "
+        f"(~{(cells[(32, 'base')].get('shuffle_dir_bytes') or 0) / 3 / (1 << 20):.0f} MB "
+        "per run vs a 2.5 GB parquet scan): the hour-partial rollup means "
+        "almost no bytes cross the exchange, so the 8→32 gap CANNOT be "
+        "shuffle-plan overhead — there is almost no shuffle to mis-plan.",
         f"- **partitions do not move the wall**: 4x the shuffle partitions "
-        f"changes local[32] time by {abs(p256_32 - base32) / base32 * 100:.0f}% "
-        f"({base32:.2f}s → {p256_32:.2f}s). If the 8→32 gap were task-"
-        "scheduling or plan overhead, 4x the tasks would amplify it.",
-        f"- **bytes do**: turning shuffle compression off moves "
-        f"{ncbytes / gb:.2f} GB instead of {bbytes / gb:.2f} GB "
-        f"({ncbytes / bbytes:.1f}x) and costs "
-        f"{(nc32 - base32) / base32 * 100:+.0f}% wall at local[32] "
-        f"({base32:.2f}s → {nc32:.2f}s).",
-        f"- **data size tracks**: 1/4 the rows runs in {q32:.2f}s vs "
-        f"{base32:.2f}s ({base32 / q32:.1f}x) — near-proportional to bytes "
-        "(the remainder is the ~0.7s fixed stage floor the scan_narrow "
-        "calibration tier measures).",
+        f"shifts local[32] by {(p256_32 - base32) / base32 * 100:+.0f}% "
+        f"({base32:.2f}s → {p256_32:.2f}s) and local[8] by "
+        f"{(p256_8 - base8) / base8 * 100:+.0f}% — both within host noise. "
+        "If the gap were task scheduling, 4x the tasks would amplify it.",
+        f"- **shuffle compression is a no-op perturbation here** "
+        f"(local[32] {base32:.2f}s → {nc32:.2f}s, local[8] {base8:.2f}s → "
+        f"{nc8:.2f}s, both within the ±15-20% residual steal noise) — "
+        "consistent with the shuffle being ~0.5% of bytes moved; the knob "
+        "would only bite on a shuffle-heavy tier.",
+        f"- **scan bytes DO move the wall, and quantitatively**: the "
+        "floor+bandwidth model `wall = floor + scan_bytes/bw` fitted on "
+        f"(base, quarter) gives floor ≈ {floor8:.2f}s at local[8] / "
+        f"{floor32:.2f}s at local[32] (the scan_narrow calibration tier "
+        "independently measures a ~0.7s stage-setup floor), and predicts "
+        f"quarter at {pred_q8:.2f}s / {pred_q32:.2f}s vs measured "
+        f"{q8:.2f}s / {q32:.2f}s — the model closes by construction on "
+        "these two points; its FIT is that the implied floors land on the "
+        "independently measured ~0.7-1s range at both levels rather than "
+        "at 0 (pure bandwidth) or at the full wall (pure overhead).",
         "",
-        "Conclusion: at local[32] the tier's wall time responds to bytes",
-        "moved and is insensitive to partition/task structure — the 8→32",
-        "ratio reads the single guest's shared DRAM/decode path, not the",
-        "plan. On a real N→4N cluster each executor brings its own memory",
-        "channels, which is why BASELINE.md reports 2→8 (below the",
-        "single-box bandwidth wall) as the honest executor stand-in.",
+        "Conclusion: the tier's wall time decomposes into a fixed ~1s",
+        "stage floor plus a term proportional to scanned bytes; it is",
+        "insensitive to shuffle partition structure and shuffle byte",
+        "volume (both changed 4x/2x with no effect beyond noise). The",
+        "8→32 residual therefore reads the single guest's shared",
+        "scan/decode bandwidth and the fixed floor, not the plan. On a",
+        "real N→4N cluster each executor brings its own memory channels",
+        "and the floor amortizes over longer per-node work — which is why",
+        "BASELINE.md reports 2→8 (below the single-box bandwidth wall) as",
+        "the honest executor stand-in.",
         "",
     ]
     with open(REPORT, "w") as fh:

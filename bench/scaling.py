@@ -506,7 +506,12 @@ this box**: the pure payload scan stops scaling past ~8 threads here
 still represent 4 independent executors each with unconstrained memory
 bandwidth; the 8→32 pair is reported as well because 32 is the box's
 core count, but for shuffle/scan-bearing tiers it reads the shared-DRAM
-wall (see scan_narrow calibration), not the plan.
+wall (see scan_narrow calibration), not the plan. BENCH/DRAM_WALL.md
+isolates this directly on the training_set tier: 4x the shuffle
+partitions and 2x the shuffle bytes (compression off) both land within
+host noise at local[32], while scanned bytes move the wall
+proportionally on top of a ~1 s fixed floor — the 8→32 residual is
+bandwidth + floor, not plan structure (bench/dram_wall.py).
 
 Scaling-efficiency target (north rule): ≥ 0.8 between N and 4N executors.
 

@@ -687,7 +687,11 @@ def expanding_entity_stats(
     n = F.count(x).over(w)
     s = F.sum(x).over(w).cast("double")
     # square in LONG: an int32 value_col would compute x*x in int and
-    # silently wrap past 46340 in non-ANSI mode, corrupting exp_std/exp_z
+    # silently wrap past 46340 in non-ANSI mode, corrupting exp_std/exp_z.
+    # (The long PREFIX SUM of squares is exact to 2^63 — with per-doc
+    # token counts ≤1M that is ~9M docs per entity; entities hotter than
+    # that should roll up through the decimal path trailing_correlation
+    # uses.)
     xl = x.cast("long")
     s2 = F.sum(xl * xl).over(w).cast("double")
     nd = n.cast("double")
@@ -1022,7 +1026,16 @@ def trailing_correlation(
     integers — the same no-streaming-variance trick as
     ``expanding_entity_stats``. NULL when fewer than 2 active hours or
     a degenerate (zero-variance) side. Grid-bounded: one hourly rollup,
-    one bounded range window."""
+    one bounded range window.
+
+    The second moments accumulate in DECIMAL(38,0), not long: ``y`` is
+    tokens/hour for one source, so Σy² over a 24 h window crosses 2^63
+    once a heavy source sustains ~6×10⁸ tokens/hour — realistic on a
+    100 TB crawl — and a long sum would wrap silently in non-ANSI mode
+    (the int-square class from round 3, one level up). DuckDB's oracle
+    side is hugeint (128-bit) natively; decimal keeps Spark exact too,
+    and below the old bound the exact integer converts to the identical
+    double either way."""
     partials = hour_partials(tokens, entity_col, ts_col).select(
         entity_col, "_hr", "_n", "_s"
     )
@@ -1034,12 +1047,14 @@ def trailing_correlation(
     )
     x = F.col("_n")
     y = F.col("_s")
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     m = F.count(x).over(w).cast("double")
     sx = F.sum(x).over(w).cast("double")
     sy = F.sum(y).over(w).cast("double")
-    sxy = F.sum(x * y).over(w).cast("double")
-    sxx = F.sum(x * x).over(w).cast("double")
-    syy = F.sum(y * y).over(w).cast("double")
+    sxy = F.sum(xd * yd).over(w).cast("double")
+    sxx = F.sum(xd * xd).over(w).cast("double")
+    syy = F.sum(yd * yd).over(w).cast("double")
     cov = m * sxy - sx * sy
     vx = m * sxx - sx * sx
     vy = m * syy - sy * sy

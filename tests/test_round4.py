@@ -217,3 +217,39 @@ def test_round_half_up_matches_spark_round(spark):
     # non-finite passthrough
     out = _round_half_up(np.array([math.nan, math.inf, -math.inf]), 9)
     assert math.isnan(out[0]) and out[1] == math.inf and out[2] == -math.inf
+
+
+# ---------------------------------------------------------------------------
+# trailing_correlation: second moments past 2^63 (decimal accumulation)
+# ---------------------------------------------------------------------------
+def test_trailing_correlation_wide_sums_no_overflow(spark):
+    """Hourly token sums near 6.4e9 make Σy² over the window cross 2^63;
+    the decimal(38,0) accumulation must still match numpy's Pearson on
+    the hourly series (a long sum would wrap silently)."""
+    from mhealth_spark.tokens_engine import trailing_correlation
+
+    # 3 docs/hour at n_tok ≈ int32-max → _s ≈ 6.4e9/hour, y² ≈ 4.1e19
+    big = 2_147_000_000
+    rows = []
+    hourly = []  # (docs_per_hour, tokens_per_hour)
+    for h, n_docs in enumerate([3, 2, 3, 1, 3]):
+        tok = big - h * 1000
+        hourly.append((n_docs, n_docs * tok))
+        for d in range(n_docs):
+            rows.append(
+                (h * 10 + d, "s1", f"2024-01-01 0{h}:15:00", tok)
+            )
+    df = spark.createDataFrame(
+        rows, "doc_id long, writer_id string, ts string, n_tok int"
+    ).withColumn("source", F.lit("s1"))
+    got = {
+        r["ts"]: r["corr_docs_tokens"]
+        for r in trailing_correlation(df, window_hours=24).collect()
+    }
+    assert len(got) == 5
+    # last hour sees all 5 hourly points in its trailing window
+    xs = np.array([x for x, _ in hourly], dtype=np.float64)
+    ys = np.array([y for _, y in hourly], dtype=np.float64)
+    want = np.corrcoef(xs, ys)[0, 1]
+    last = sorted(got)[-1]
+    assert got[last] == pytest.approx(want, rel=1e-9), (got[last], want)
