@@ -1378,3 +1378,62 @@ def split_leakage(
         )
         .filter((F.col("n_docs") > 1) & (F.col("n_splits") > 1))
     )
+
+
+def split_leakage_fuzzy(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split0",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate twin of ``split_leakage``: LSH candidate pairs
+    (optionally exact-Jaccard verified at ``verify_threshold``) whose
+    two sides landed in different splits — the contamination exact-hash
+    auditing cannot see (a lightly edited train doc leaking into test).
+    Emits one row per leaking pair: (id_a, id_b, split_a, split_b[,
+    jaccard]).
+
+    Scale shape is inherited, not invented: candidates come from the
+    same banded MinHash bucket expansion every fuzzy-dedup query uses
+    (never all-pairs), the verify pass is bounded by the candidate set,
+    and the split labels join back on the id — two broadcast-sized
+    joins against a pair table that is output-sized by construction."""
+    from mhealth_spark.pipelines.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+
+    w = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    labeled = split_corpus(docs, w, id_col=id_col, salt=salt).select(
+        id_col, "split"
+    )
+    pairs = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes, band_size, shingle_n
+    )
+    cols = ["id_a", "id_b"]
+    if verify_threshold is not None:
+        pairs = jaccard_verify_pairs(
+            docs, pairs, id_col, text_col, threshold=verify_threshold
+        )
+        cols.append("jaccard")
+    out = (
+        pairs.join(
+            labeled.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "id_a",
+        )
+        .join(
+            labeled.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select(*cols, "split_a", "split_b")

@@ -791,6 +791,48 @@ def decayed_rate_features(
     )
 
 
+def recency_weights(
+    tokens: DataFrame,
+    ts_col: str = "ts",
+    half_life_hours: float = 7 * 24.0,
+    entity_col: str | None = None,
+    reference_ts: str | None = None,
+) -> DataFrame:
+    """Per-document recency sampling weight for training-mix assembly:
+    ``w = 0.5 ** (age_hours / half_life_hours)`` with age measured back
+    from the corpus (or per-``entity_col``) max timestamp, or from an
+    explicit ``reference_ts`` literal (the reproducible choice for a
+    pinned training snapshot: 'as of T'). Weight 1.0 at the reference,
+    0.5 one half-life back — feed straight into the same weighted
+    sampler as ``temperature_rates`` (the time axis of the mixing
+    policy, where temperature is the source axis).
+
+    Scale shape: with ``reference_ts`` or a global reference the job is
+    MAP-ONLY (one scalar aggregate broadcast into a literal-free join);
+    per-entity references add one entity-keyed aggregation joined back
+    broadcast-sized. No window, no sort, no per-row Python."""
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if reference_ts is not None:
+        ref = F.unix_micros(F.lit(reference_ts).cast("timestamp"))
+        joined = tokens
+    elif entity_col is not None:
+        refs = tokens.groupBy(entity_col).agg(
+            F.max(t).alias("_ref_us")
+        )
+        joined = tokens.join(F.broadcast(refs), entity_col)
+        ref = F.col("_ref_us")
+    else:
+        refs = tokens.agg(F.max(t).alias("_ref_us"))
+        joined = tokens.crossJoin(F.broadcast(refs))
+        ref = F.col("_ref_us")
+    age_h = (ref - t) / F.lit(3.6e9)
+    w = F.pow(F.lit(0.5), age_h / F.lit(float(half_life_hours)))
+    drop = [] if reference_ts is not None else ["_ref_us"]
+    return joined.withColumn("age_hours", age_h).withColumn(
+        "recency_weight", w
+    ).drop(*drop)
+
+
 def drift_psi(
     tokens: DataFrame,
     entity_col: str = "source",

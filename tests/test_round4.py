@@ -253,3 +253,104 @@ def test_trailing_correlation_wide_sums_no_overflow(spark):
     want = np.corrcoef(xs, ys)[0, 1]
     last = sorted(got)[-1]
     assert got[last] == pytest.approx(want, rel=1e-9), (got[last], want)
+
+
+# ---------------------------------------------------------------------------
+# round-5 leads built early: fuzzy split leakage + recency weights
+# ---------------------------------------------------------------------------
+def test_split_leakage_fuzzy_matches_manual_composition(spark):
+    """The fuzzy leakage audit must equal the manual composition the
+    split_leakage docstring describes: verified LSH pairs filtered to
+    cross-split, with the same split assignment split_corpus gives."""
+    from mhealth_spark.pipelines.corpus import split_corpus, split_leakage_fuzzy
+    from mhealth_spark.pipelines.dedup import (
+        jaccard_verify_pairs,
+        minhash_lsh_candidates,
+    )
+    from mhealth_spark.source import read_table
+
+    docs = read_table(spark, "documents", SF001)
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    got = {
+        (r["id_a"], r["id_b"], r["split_a"], r["split_b"])
+        for r in split_leakage_fuzzy(docs, w, verify_threshold=0.5).collect()
+    }
+    labeled = {
+        r["doc_id"]: r["split"] for r in split_corpus(docs, w).collect()
+    }
+    pairs = jaccard_verify_pairs(
+        docs, minhash_lsh_candidates(docs), threshold=0.5
+    ).collect()
+    want = {
+        (r["id_a"], r["id_b"], labeled[r["id_a"]], labeled[r["id_b"]])
+        for r in pairs
+        if labeled[r["id_a"]] != labeled[r["id_b"]]
+    }
+    assert got == want
+    # the synthetic corpus has planted near-dups: with a 50/25/25 split
+    # some pair must cross — otherwise this test tests nothing
+    assert len(got) > 0
+
+
+def test_split_leakage_fuzzy_empty_after_dedup(spark):
+    """Keeping one survivor per near-dup cluster must silence the audit
+    (the run-after-dedup contract from the exact twin's docstring)."""
+    from mhealth_spark.pipelines.corpus import split_leakage_fuzzy
+    from mhealth_spark.pipelines.dedup import (
+        minhash_lsh_candidates,
+        neardup_components,
+    )
+    from mhealth_spark.source import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, "documents", SF001)
+    comp = neardup_components(minhash_lsh_candidates(docs))
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    surv = docs.join(drop, "doc_id", "left_anti")
+    out = split_leakage_fuzzy(
+        surv, {"train": 0.5, "val": 0.25, "test": 0.25}, verify_threshold=None
+    )
+    assert out.count() == 0
+
+
+def test_recency_weights(spark):
+    """Weight 1.0 at the reference timestamp, 0.5 exactly one half-life
+    back, monotone in age; per-entity mode anchors each entity at its
+    own max; explicit reference_ts pins the zero point."""
+    from mhealth_spark.tokens_engine import recency_weights
+
+    rows = [
+        (1, "a", "2024-01-08 00:00:00", 10),
+        (2, "a", "2024-01-01 00:00:00", 10),  # 168h before doc 1
+        (3, "b", "2024-01-04 00:00:00", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, writer_id string, ts string, n_tok int"
+    )
+    glob = {
+        r["doc_id"]: r
+        for r in recency_weights(df, half_life_hours=168.0).collect()
+    }
+    assert glob[1]["recency_weight"] == pytest.approx(1.0)
+    assert glob[2]["recency_weight"] == pytest.approx(0.5)
+    assert glob[3]["age_hours"] == pytest.approx(96.0)
+    assert 0.5 < glob[3]["recency_weight"] < 1.0
+
+    per = {
+        r["doc_id"]: r["recency_weight"]
+        for r in recency_weights(
+            df, half_life_hours=168.0, entity_col="writer_id"
+        ).collect()
+    }
+    assert per[1] == pytest.approx(1.0)
+    assert per[3] == pytest.approx(1.0)  # entity b's own max
+    assert per[2] == pytest.approx(0.5)
+
+    pinned = {
+        r["doc_id"]: r["recency_weight"]
+        for r in recency_weights(
+            df, half_life_hours=168.0, reference_ts="2024-01-15 00:00:00"
+        ).collect()
+    }
+    assert pinned[1] == pytest.approx(0.5)
+    assert pinned[2] == pytest.approx(0.25)
