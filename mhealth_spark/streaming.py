@@ -887,6 +887,123 @@ def stream_hour_partials(
     )
 
 
+def stream_training_set(
+    tokens: DataFrame,
+    partials_path: str,
+    output_path: str,
+    entity_col: str = "source",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    lookbacks_hours: tuple[int, ...] = (1, 24),
+    horizon_hours: int = 24,
+    extra_label_horizons: tuple[int, ...] = (),
+):
+    """The packaged ONLINE training-set loop: live events in, finalized
+    leakage-clean training rows out, one call. Composes the pieces the
+    batch≡stream suite already proves individually —
+    ``stream_hour_partials`` (watermarked hour rollup, append mode) into
+    a persisted partial store, then ``training_set_grid(partials=...)``
+    per micro-batch — behind ``foreachBatch``, because a trailing/
+    leading range-window over the partial grid is not expressible as a
+    chained streaming aggregation (Spark only chains tumbling windows).
+
+    Emission contract: a request row (entity, H) is written exactly
+    once, and only when every hour its windows touch is CLOSED — i.e.
+    ``H + horizon_hours <= max partial hour seen for that entity`` (all
+    stored partials are watermark-finalized, so hours at or below an
+    entity's frontier with no partial row had zero events). Rows land
+    under ``output_path/batch=<id>``; both stores are written with
+    per-batch ``mode("overwrite")`` into the batch's own directory, so a
+    replayed micro-batch (at-least-once ``foreachBatch``) rewrites the
+    same files instead of duplicating — the emitted-row set is exactly-
+    once. The already-emitted frontier is recovered from the output
+    store itself (excluding the live batch's directory), so there is no
+    side state to lose.
+
+    Scale shape: the event stream is touched only by the single
+    watermarked aggregation; everything inside the batch function —
+    store read, dedup, frontier join, window assembly — is bounded by
+    the partial GRID (|entities| x |hours|), never the corpus. Seed
+    ``partials_path/batch=-1`` with a batch ``hour_partials`` build to
+    warm-start from history without rescanning it.
+
+    Returns the configured ``DataStreamWriter`` — attach a trigger and
+    ``checkpointLocation`` and ``.start()``."""
+    finalized = stream_hour_partials(tokens, entity_col, ts_col, watermark)
+    emit = _training_set_emit_fn(
+        partials_path,
+        output_path,
+        entity_col,
+        lookbacks_hours,
+        horizon_hours,
+        extra_label_horizons,
+    )
+    return finalized.writeStream.outputMode("append").foreachBatch(emit)
+
+
+def _training_set_emit_fn(
+    partials_path: str,
+    output_path: str,
+    entity_col: str = "source",
+    lookbacks_hours: tuple[int, ...] = (1, 24),
+    horizon_hours: int = 24,
+    extra_label_horizons: tuple[int, ...] = (),
+):
+    """The ``foreachBatch`` body of ``stream_training_set``, factored so
+    the retry/idempotency/incremental contracts are directly unit-
+    testable on static partial frames (same shape as the streamed
+    batches). ``batch`` must be hour-partial rows (``hour_partials``
+    schema)."""
+    from mhealth_spark.tokens_engine import training_set_grid
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(
+            f"{partials_path}/batch={batch_id}"
+        )
+        store = (
+            spark.read.parquet(partials_path)
+            .drop("batch")
+            .dropDuplicates([entity_col, "_hr"])
+        )
+        store = store.localCheckpoint()
+        rows = training_set_grid(
+            None,
+            entity_col=entity_col,
+            lookbacks_hours=lookbacks_hours,
+            horizon_hours=horizon_hours,
+            partials=store,
+            extra_label_horizons=extra_label_horizons,
+        )
+        closed = store.groupBy(entity_col).agg(F.max("_hr").alias("_frontier"))
+        rows = rows.join(F.broadcast(closed), entity_col).filter(
+            F.col("ts") + F.expr(f"INTERVAL {int(horizon_hours)} HOUR")
+            <= F.col("_frontier")
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            prev = (
+                spark.read.parquet(output_path)
+                .filter(F.col("batch") != batch_id)
+                .groupBy(entity_col)
+                .agg(F.max("ts").alias("_emitted"))
+            )
+        except AnalysisException:  # first batch: no output store yet
+            prev = None
+        if prev is not None:
+            rows = rows.join(F.broadcast(prev), entity_col, "left").filter(
+                F.col("_emitted").isNull() | (F.col("ts") > F.col("_emitted"))
+            ).drop("_emitted")
+        rows.drop("_frontier").write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+
+    return _emit
+
+
 def stream_drift_psi(
     docs: DataFrame,
     baseline: dict[str, list[int]],

@@ -1072,3 +1072,114 @@ def test_stream_hour_partials_online_ingest_loop(spark, tmp_path):
         x, y = a[col], b[col]
         both_null = x.isna() & y.isna()
         assert (both_null | (x == y)).all(), col
+
+
+def _ts_reference(spark, partials_store, horizon_hours=24):
+    """One-shot training_set_grid over a partial store, filtered to the
+    per-entity closed frontier — the rows stream_training_set promises."""
+    from mhealth_spark.tokens_engine import training_set_grid
+
+    closed = partials_store.groupBy("source").agg(
+        F.max("_hr").alias("_frontier")
+    )
+    return (
+        training_set_grid(None, partials=partials_store)
+        .join(F.broadcast(closed), "source")
+        .filter(
+            F.col("ts") + F.expr(f"INTERVAL {horizon_hours} HOUR")
+            <= F.col("_frontier")
+        )
+        .drop("_frontier")
+        .toPandas()
+    )
+
+
+def _assert_frames_equal(a, b, key=("source", "ts")):
+    key = list(key)
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert set(a.columns) == set(b.columns)
+    for col in a.columns:
+        x, y = a[col], b[col]
+        both_null = x.isna() & y.isna()
+        assert (both_null | (x == y)).all(), col
+
+
+def test_stream_training_set_incremental_retry_idempotent(spark, tmp_path):
+    """The foreachBatch body's contracts, unit-tested on static partial
+    batches: (1) two incremental batches emit exactly the one-shot
+    training_set_grid rows within the final per-entity frontier, no
+    duplicate (entity, hour) keys; (2) replaying a batch id (the
+    at-least-once retry case) leaves the emitted set identical."""
+    from mhealth_spark.streaming import _training_set_emit_fn
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import hour_partials
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 500, seed=23))
+    cut = dt.datetime(2024, 1, 4)
+    p1 = hour_partials(events.filter(F.col("ts") < F.lit(cut)))
+    p2 = hour_partials(events.filter(F.col("ts") >= F.lit(cut)))
+    # the time cut must split cleanly on partial keys, like the stream's
+    # once-per-window emission does
+    k1 = {(r.source, r._hr) for r in p1.collect()}
+    k2 = {(r.source, r._hr) for r in p2.collect()}
+    assert k1 and k2 and not (k1 & k2)
+
+    pdir, odir = str(tmp_path / "parts"), str(tmp_path / "train")
+    emit = _training_set_emit_fn(pdir, odir)
+    emit(p1, 0)
+    first = spark.read.parquet(odir).drop("batch").toPandas()
+    assert len(first) > 0
+    emit(p2, 1)
+
+    got = spark.read.parquet(odir).drop("batch").toPandas()
+    assert not got.duplicated(["source", "ts"]).any()
+    store = spark.read.parquet(pdir).drop("batch")
+    _assert_frames_equal(got, _ts_reference(spark, store))
+    # batch-0 rows were final at emission time: batch 1 never rewrites them
+    _assert_frames_equal(
+        first,
+        got.merge(first[["source", "ts"]], on=["source", "ts"]),
+    )
+
+    # replay batch 1 (foreachBatch is at-least-once): output unchanged
+    emit(p2, 1)
+    again = spark.read.parquet(odir).drop("batch").toPandas()
+    _assert_frames_equal(got, again)
+
+
+def test_stream_training_set_stream_wiring(spark, tmp_path):
+    """The packaged stream: file-source micro-batches through
+    stream_training_set must land the same rows in the output store as
+    the one-shot batch assembly over the final partial store."""
+    from mhealth_spark.streaming import stream_training_set
+    from mhealth_spark.synth import materialize_synth_tokens
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 400, seed=29))
+    cut = dt.datetime(2024, 1, 4)
+    src = str(tmp_path / "events")
+    events.filter(F.col("ts") < F.lit(cut)).write.parquet(f"{src}/f0")
+    events.filter(F.col("ts") >= F.lit(cut)).write.parquet(f"{src}/f1")
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pdir, odir = str(tmp_path / "parts"), str(tmp_path / "train")
+    q = (
+        stream_training_set(stream, pdir, odir)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(odir).drop("batch").toPandas()
+    assert len(got) > 0
+    assert not got.duplicated(["source", "ts"]).any()
+    store = spark.read.parquet(pdir).drop("batch").dropDuplicates(
+        ["source", "_hr"]
+    )
+    _assert_frames_equal(got, _ts_reference(spark, store))
