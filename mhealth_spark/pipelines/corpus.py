@@ -263,6 +263,96 @@ def _hex_thresh(rate: float) -> str:
     return format(min(int(round(rate, 6) * 16**8), 16**8 - 1), "08x")
 
 
+def _two_level_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    hx_col: str = "_hx",
+    id_col: str = "doc_id",
+    sum_col: str | None = None,
+    bucket_chars: int = 2,
+    order_cols: list[str] | None = None,
+    bucket_exprs: list | None = None,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Distributed dense rank (and optional exclusive running sum) in
+    ``order_cols`` order (default ``(hx, id)``) within each group,
+    WITHOUT putting a whole group in one window task.
+
+    Rows are bucketed on ``bucket_exprs`` — by default the leading
+    ``bucket_chars`` hex digits of the hash sort key. The bucket keys
+    must be a monotone coarsening of the order: for any two rows,
+    bucket(a) < bucket(b) must imply a < b in ``order_cols`` order (a
+    key PREFIX always satisfies this). Then ordering by
+    (bucket, order_cols) is bit-identical to ordering by (order_cols)
+    alone, so the two-level result EQUALS the single-window result
+    exactly. Rank is row_number within (group, bucket) plus a
+    prefix-sum offset over the (group, bucket) count table — broadcast
+    when ``broadcast_offsets`` (right for ≲10^6 buckets), a shuffled
+    hash join otherwise (the offsets frame is still tiny relative to
+    the corpus, and the join exchange keys on the FINE composite key,
+    so parallelism is preserved either way). A skewed group spreads
+    across its buckets instead of one task, and ranks accumulate in
+    long (a single window's int32 row_number would wrap past 2.1e9
+    rows per group).
+
+    Adds ``_rn`` (1-based, long) and — when ``sum_col`` is given —
+    ``_cum_before`` (sum of ``sum_col`` over strictly-preceding rows in
+    the same group, long, 0 for the first row).
+    """
+    if order_cols is None:
+        order_cols = [hx_col, id_col]
+    if bucket_exprs is None:
+        bucket_exprs = [F.substring(hx_col, 1, bucket_chars)]
+    bk_cols = [f"_bk{i}" for i in range(len(bucket_exprs))]
+    bucketed = df
+    for name, expr in zip(bk_cols, bucket_exprs):
+        bucketed = bucketed.withColumn(name, expr)
+    aggs = [F.count("*").cast("long").alias("_bn")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).cast("long").alias("_bs"))
+    counts = bucketed.groupBy(*group_cols, *bk_cols).agg(*aggs)
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*bk_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).cast("long")
+    )
+    if sum_col is not None:
+        offsets = offsets.withColumn(
+            "_soff",
+            F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).cast("long"),
+        ).drop("_bs")
+    offsets = offsets.drop("_bn")
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    w_local = Window.partitionBy(*group_cols, *bk_cols).orderBy(*order_cols)
+    out = bucketed.withColumn(
+        "_rn_local", F.row_number().over(w_local).cast("long")
+    )
+    if sum_col is not None:
+        out = out.withColumn(
+            "_cum_local",
+            F.coalesce(
+                F.sum(F.col(sum_col).cast("long")).over(
+                    w_local.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    out = out.join(offsets, [*group_cols, *bk_cols]).withColumn(
+        "_rn", F.col("_off") + F.col("_rn_local")
+    )
+    drop = [*bk_cols, "_rn_local", "_off"]
+    if sum_col is not None:
+        out = out.withColumn(
+            "_cum_before", F.col("_soff") + F.col("_cum_local")
+        )
+        drop += ["_cum_local", "_soff"]
+    return out.drop(*drop)
+
+
 def temperature_rates(
     tokens: DataFrame,
     alpha: float = 0.7,
@@ -337,17 +427,13 @@ def mix_by_budget(
     matching chunked packing). Sources without a budget entry use
     ``default_budget`` (None → keep whole source).
 
-    Scale shape: ONE window exchange on the source (same key layout every
-    mixing pass reuses); hash order makes the kept set independent of
-    input partitioning, so a resumed or re-planned run keeps exactly the
-    same documents.
+    Scale shape: the per-source running token sum is computed two-level
+    (prefix-bucketed, see ``_two_level_rank``) so a skewed source spans
+    256 tasks instead of one; hash order makes the kept set independent
+    of input partitioning, so a resumed or re-planned run keeps exactly
+    the same documents.
     """
     hx = _hex8(id_col, salt)
-    w = (
-        Window.partitionBy(by_col)
-        .orderBy("_hx", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     budget_expr = None
     for s, b in budgets.items():
         cond = F.col(by_col) == s
@@ -358,11 +444,15 @@ def mix_by_budget(
         budget_expr = F.lit(default_budget)
     else:
         budget_expr = budget_expr.otherwise(F.lit(default_budget))
+    ranked = _two_level_rank(
+        tokens.withColumn("_hx", hx),
+        [by_col],
+        id_col=id_col,
+        sum_col="n_tok",
+    )
     out = (
-        tokens.withColumn("_hx", hx)
-        .withColumn(
-            "mix_tokens_before",
-            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+        ranked.withColumn(
+            "mix_tokens_before", F.col("_cum_before")
         )
         .withColumn("_budget", budget_expr)
         .filter(
@@ -370,7 +460,7 @@ def mix_by_budget(
             | (F.col("mix_tokens_before") < F.col("_budget"))
         )
     )
-    return out.drop("_hx", "_budget")
+    return out.drop("_hx", "_rn", "_cum_before", "_budget")
 
 
 def shard_assign(
@@ -385,19 +475,19 @@ def shard_assign(
     is a uniform random permutation of the corpus, reproducible across
     engines and runs, with no driver-side sort and no RNG state. Writing
     with ``partitionBy(shard_id)`` then streams each shard in position
-    order. One window exchange on shard_id (uniform by construction —
-    no skew possible, every reducer gets |corpus|/n rows)."""
+    order. The in-shard position is computed two-level (prefix-bucketed,
+    see ``_two_level_rank``): shards are uniform by construction, but at
+    10^12 rows even a uniform shard can exceed one task's memory and
+    int32 row_number — the bucketing bounds both."""
     hx = _hex8(id_col, salt)
-    w = Window.partitionBy("shard_id").orderBy("_hx", id_col)
-    return (
-        df.withColumn("_hx", hx)
-        .withColumn(
-            "shard_id",
-            (F.conv(F.col("_hx"), 16, 10).cast("long") % n_shards).cast("int"),
-        )
-        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("_hx")
+    with_shard = df.withColumn("_hx", hx).withColumn(
+        "shard_id",
+        (F.conv(F.col("_hx"), 16, 10).cast("long") % n_shards).cast("int"),
     )
+    ranked = _two_level_rank(with_shard, ["shard_id"], id_col=id_col)
+    return ranked.withColumn(
+        "shard_pos", (F.col("_rn") - 1).cast("long")
+    ).drop("_hx", "_rn")
 
 
 def interleave_sources(
@@ -416,10 +506,16 @@ def interleave_sources(
     Scale posture: NO global contiguous index is computed (that would be
     a driver-side zipWithIndex pass at 10^12 rows). The key is sparse —
     a total order, not a dense position — which is all a distributed
-    range-partitioned write needs. One window exchange per source (the
-    per-source rank) plus a broadcast join against the tiny distinct-
-    source frame; a skewed source only deepens its own rotation, it
-    cannot starve the interleave.
+    range-partitioned write needs. The per-source dense rank is computed
+    TWO-LEVEL so no task ever holds a whole source: rows are bucketed on
+    the leading hex digits of the hash sort key itself (the bucket is a
+    PREFIX of the sort key, so ordering by (bucket, hash, id) is
+    bit-identical to ordering by (hash, id) — the two-level rank equals
+    the single-window rank exactly), ranked within (source, bucket), and
+    offset by a broadcast prefix-sum over the tiny (source, bucket)
+    count table. A skewed source spreads across ``16^bucket_chars``
+    tasks instead of one, and ranks are computed in long (row_number's
+    int32 would wrap past 2.1e9 rows per source).
     """
     # the distinct-source frame is tiny by construction (|sources| ≪ rows);
     # a single-partition window over it is deliberate — partitionBy(lit)
@@ -435,10 +531,11 @@ def interleave_sources(
         .withColumn("_n_src", F.count("*").over(one))
     )
     hx = _hex8(id_col, salt)
-    w = Window.partitionBy(source_col).orderBy("_hx", id_col)
+    ranked = _two_level_rank(
+        df.withColumn("_hx", hx), [source_col], id_col=id_col
+    )
     return (
-        df.withColumn("_hx", hx)
-        .withColumn("rn_in_source", F.row_number().over(w).cast("long"))
+        ranked.withColumnRenamed("_rn", "rn_in_source")
         .join(F.broadcast(src_idx), source_col)
         .withColumn(
             "interleave_key",
@@ -477,15 +574,36 @@ def batch_by_length(
     floor(n_tok / length_bucket); within a bucket, docs take dense
     positions in (n_tok, id) order and batch_id = position // batch_size.
     Padding per batch is then bounded by the bucket width instead of the
-    corpus-wide length spread. One window exchange on the bucket key
-    (bounded cardinality ≈ max_len / length_bucket; each bucket's rows
-    spread across batches, so no reducer hot-spot beyond the length
-    distribution itself — AQE splits a skewed bucket)."""
+    corpus-wide length spread.
+
+    Scale shape: the in-bucket position is computed two-level (see
+    ``_two_level_rank``) sub-bucketed on the exact n_tok — a monotone
+    coarsening of the (n_tok, id) order — plus, for STRING ids, the
+    2-char id prefix (a string prefix is order-consistent with the full
+    string; a numeric id's decimal prefix is NOT order-consistent, so
+    numeric ids sub-bucket on length alone). Bit-identical to a single
+    per-bucket window, while a packed corpus whose docs pile onto ONE
+    length (every sequence capped at 2048) still spreads across the
+    id-prefix tasks. The offsets frame keys on the fine composite key —
+    up to ~lengths×256 rows — so it joins SHUFFLED, not broadcast, and
+    the corpus-side exchange keys on the same fine key, preserving
+    parallelism."""
+    from pyspark.sql.types import StringType
+
     bucket = F.floor(F.col("n_tok") / length_bucket).cast("int")
-    w = Window.partitionBy("len_bucket").orderBy("n_tok", id_col)
+    bucket_exprs = [F.col("n_tok")]
+    if isinstance(tokens.schema[id_col].dataType, StringType):
+        bucket_exprs.append(F.substring(F.col(id_col), 1, 2))
+    ranked = _two_level_rank(
+        tokens.withColumn("len_bucket", bucket),
+        ["len_bucket"],
+        id_col=id_col,
+        order_cols=["n_tok", id_col],
+        bucket_exprs=bucket_exprs,
+        broadcast_offsets=False,
+    )
     return (
-        tokens.withColumn("len_bucket", bucket)
-        .withColumn("_pos", F.row_number().over(w) - 1)
+        ranked.withColumn("_pos", F.col("_rn") - 1)
         .withColumn(
             "batch_id",
             F.concat_ws(
@@ -495,7 +613,7 @@ def batch_by_length(
             ),
         )
         .withColumn("batch_pos", (F.col("_pos") % batch_size).cast("int"))
-        .drop("_pos")
+        .drop("_pos", "_rn")
     )
 
 
@@ -640,16 +758,15 @@ def cap_per_group(
     """Per-group contribution cap: keep at most ``cap`` rows per group in
     deterministic md5-draw order (author/domain balancing — no prolific
     writer dominates the mix; the kept subset is a uniform sample of the
-    group and stable across runs/engines). One window exchange on the
-    group key."""
+    group and stable across runs/engines). The rank is computed
+    two-level (prefix-bucketed, see ``_two_level_rank``): a prolific
+    group — exactly the input this operator exists for — spreads across
+    256 tasks instead of sorting 10^9 rows in one to keep 100."""
     hx = _hex8(id_col, salt)
-    w = Window.partitionBy(group_col).orderBy("_hx", id_col)
-    return (
-        df.withColumn("_hx", hx)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_hx", "_rn")
+    ranked = _two_level_rank(
+        df.withColumn("_hx", hx), [group_col], id_col=id_col
     )
+    return ranked.filter(F.col("_rn") <= cap).drop("_hx", "_rn")
 
 
 def build_corpus(
@@ -799,21 +916,48 @@ def curriculum_buckets(
     group_col: str = "source",
     n_buckets: int = 4,
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """Quality-curriculum bucketing: ntile the docs of each group by a
     score column (bucket 1 = highest quality). Training schedules that
     warm up on clean data and anneal onto the tail read buckets in
     order; per-GROUP tiling keeps a strong domain from monopolizing the
-    top bucket the way a global ntile would. One window exchange on the
-    group key; score rounded to 9 dp before ranking so any engine
-    buckets identically (same convention as ``select_best_per_group``).
-    """
-    w = Window.partitionBy(group_col).orderBy(
-        F.round(F.col(score_col), 9).desc(), id_col
+    top bucket the way a global ntile would. Score rounded to 9 dp
+    before ranking so any engine buckets identically (same convention
+    as ``select_best_per_group``).
+
+    ``exact=True`` (the oracle tier) is one window exchange on the
+    group key — the whole group sorts in one task, fine to ~10^8 rows
+    per group. ``exact=False`` is the 100-TB tier: per-group
+    ``approx_percentile`` cutpoints (map-side-combining aggregate, no
+    sort) broadcast back and the bucket is a pure map-side comparison;
+    bucket boundaries are approximate (bucket POPULATIONS may differ
+    from exact ntile near the cutpoints, ordering semantics are
+    identical) and a curriculum schedule is insensitive to that."""
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.round(F.col(score_col), 9).desc(), id_col
+        )
+        return scored.withColumn(
+            "curriculum_bucket", F.ntile(n_buckets).over(w).cast("int")
+        )
+    s = F.round(F.col(score_col), 9)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(group_col).agg(
+        F.percentile_approx(s, qs, 100000).alias("_cuts")
     )
-    return scored.withColumn(
-        "curriculum_bucket", F.ntile(n_buckets).over(w).cast("int")
+    # bucket 1 = highest score: count how many LOWER cutpoints the score
+    # clears, counting from the top
+    joined = scored.join(F.broadcast(cuts), group_col)
+    above = F.aggregate(
+        "_cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(s >= c, 1).otherwise(0),
     )
+    return joined.withColumn(
+        "curriculum_bucket",
+        (F.lit(n_buckets) - above).cast("int"),
+    ).drop("_cuts")
 
 
 def select_best_per_group(
@@ -825,14 +969,29 @@ def select_best_per_group(
 ) -> DataFrame:
     """Quality-based data selection: the top-``k`` docs per group by a
     score column (ties → lower id), e.g. the unigram log-prob scores.
-    This is the 'select the best N per domain' pass of curation pipelines;
-    one window exchange on the group key, rank rounded to 9 dp before
-    comparison so any engine ranks identically."""
-    w = Window.partitionBy(group_col).orderBy(
-        F.round(F.col(score_col), 9).desc(), id_col
+    This is the 'select the best N per domain' pass of curation
+    pipelines; rank rounded to 9 dp before comparison so any engine
+    ranks identically.
+
+    Scale shape: SALTED two-phase top-k. Phase 1 ranks within
+    (group, salt-of-id) and keeps k per salt — every member of the
+    global per-group top-k is by definition in the top-k of its own
+    salt slice, so the ≤ 64·k survivors per group provably contain the
+    answer. Phase 2 re-ranks the survivors exactly. No task ever sorts
+    a whole group; the phase-2 window touches ≤ 64·k rows per group."""
+    n_salts = 64
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    order = [F.round(F.col(score_col), 9).desc(), id_col]
+    w_local = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_salt", "_lrk")
     )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .withColumnRenamed("_rk", "quality_rank")
     )

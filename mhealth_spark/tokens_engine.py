@@ -797,6 +797,7 @@ def recency_weights(
     half_life_hours: float = 7 * 24.0,
     entity_col: str | None = None,
     reference_ts: str | None = None,
+    broadcast_refs: bool = True,
 ) -> DataFrame:
     """Per-document recency sampling weight for training-mix assembly:
     ``w = 0.5 ** (age_hours / half_life_hours)`` with age measured back
@@ -809,8 +810,12 @@ def recency_weights(
 
     Scale shape: with ``reference_ts`` or a global reference the job is
     MAP-ONLY (one scalar aggregate broadcast into a literal-free join);
-    per-entity references add one entity-keyed aggregation joined back
-    broadcast-sized. No window, no sort, no per-row Python."""
+    per-entity references add one entity-keyed aggregation joined back.
+    The reference table has one row per entity — broadcast by default;
+    pass ``broadcast_refs=False`` when entity cardinality exceeds the
+    broadcast budget (e.g. per-document entities at corpus scale) and
+    the join falls back to a shuffled hash join on the entity key. No
+    window, no sort, no per-row Python."""
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if reference_ts is not None:
         ref = F.unix_micros(F.lit(reference_ts).cast("timestamp"))
@@ -819,7 +824,9 @@ def recency_weights(
         refs = tokens.groupBy(entity_col).agg(
             F.max(t).alias("_ref_us")
         )
-        joined = tokens.join(F.broadcast(refs), entity_col)
+        if broadcast_refs:
+            refs = F.broadcast(refs)
+        joined = tokens.join(refs, entity_col)
         ref = F.col("_ref_us")
     else:
         refs = tokens.agg(F.max(t).alias("_ref_us"))

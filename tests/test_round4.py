@@ -354,3 +354,153 @@ def test_recency_weights(spark):
     }
     assert pinned[1] == pytest.approx(0.5)
     assert pinned[2] == pytest.approx(0.25)
+
+    # shuffled-join fallback (unbounded entity cardinality) is
+    # value-identical to the broadcast path
+    shuffled = {
+        r["doc_id"]: r["recency_weight"]
+        for r in recency_weights(
+            df,
+            half_life_hours=168.0,
+            entity_col="writer_id",
+            broadcast_refs=False,
+        ).collect()
+    }
+    assert shuffled == pytest.approx(per)
+
+
+def test_two_level_rank_equals_single_window(spark):
+    """The prefix-bucketed two-level rank (`_two_level_rank`) must equal
+    the naive single-window rank EXACTLY — the bucket is a prefix of the
+    hash sort key, so (bucket, hash, id) order is (hash, id) order. One
+    heavily skewed group (all rows share the source) spans many buckets;
+    the running token sum must likewise match a pandas cumsum."""
+    import hashlib
+
+    import pandas as pd
+
+    from mhealth_spark.pipelines.corpus import (
+        interleave_sources,
+        mix_by_budget,
+        shard_assign,
+    )
+
+    n = 3000  # ~256 buckets at 2 hex chars → every bucket multi-row
+    rows = [(f"d{i:05d}", "only_source", (i * 7) % 100 + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+
+    # pandas reference: single-window rank in (md5-hash, id) order
+    def hx(doc_id: str, salt: str) -> str:
+        return hashlib.md5(f"{doc_id}#{salt}".encode()).hexdigest()[:8]
+
+    ref = pd.DataFrame(rows, columns=["doc_id", "source", "n_tok"])
+    ref["_hx"] = [hx(d, "il0") for d in ref["doc_id"]]
+    ref = ref.sort_values(["_hx", "doc_id"]).reset_index(drop=True)
+    ref["rn"] = range(1, n + 1)
+
+    got = (
+        interleave_sources(df)
+        .select("doc_id", "rn_in_source")
+        .toPandas()
+        .set_index("doc_id")["rn_in_source"]
+    )
+    want = ref.set_index("doc_id")["rn"]
+    assert (got.loc[want.index] == want).all()
+
+    # running-sum variant (mix_by_budget keeps docs while cum-before < B)
+    ref_mix = pd.DataFrame(rows, columns=["doc_id", "source", "n_tok"])
+    ref_mix["_hx"] = [hx(d, "mix0") for d in ref_mix["doc_id"]]
+    ref_mix = ref_mix.sort_values(["_hx", "doc_id"]).reset_index(drop=True)
+    ref_mix["cum_before"] = ref_mix["n_tok"].cumsum().shift(1).fillna(0)
+    budget = int(ref_mix["n_tok"].sum() * 0.35)
+    want_keep = set(ref_mix[ref_mix["cum_before"] < budget]["doc_id"])
+    got_keep = {
+        r["doc_id"]
+        for r in mix_by_budget(
+            df, budgets={"only_source": budget}
+        ).collect()
+    }
+    assert got_keep == want_keep
+
+    # shard positions are a dense 0..k-1 per shard in hash order
+    sh = shard_assign(df, n_shards=4).toPandas()
+    for sid, grp in sh.groupby("shard_id"):
+        assert sorted(grp["shard_pos"]) == list(range(len(grp)))
+        ordered = grp.copy()
+        ordered["_hx"] = [hx(d, "shard0") for d in ordered["doc_id"]]
+        ordered = ordered.sort_values(["_hx", "doc_id"])
+        assert list(ordered["shard_pos"]) == list(range(len(grp)))
+
+
+def test_scale_paths_select_best_and_batching(spark):
+    """Salted two-phase top-k and sub-bucketed length batching must be
+    value-identical to the naive single-window semantics (checked via a
+    pandas reference); curriculum approx tier must agree with exact
+    ntile away from the cutpoints."""
+    import pandas as pd
+
+    from mhealth_spark.pipelines.corpus import (
+        batch_by_length,
+        curriculum_buckets,
+        select_best_per_group,
+    )
+
+    n = 2000
+    rows = [
+        (
+            f"d{i:05d}",
+            f"src{i % 3}",
+            # scores with heavy ties to exercise the 9-dp tie-break
+            round(((i * 37) % 50) / 7.0, 6),
+            (i * 13) % 300 + 5,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, mean_logprob double, n_tok int"
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "source", "mean_logprob", "n_tok"]
+    )
+
+    # --- select_best_per_group: pandas reference top-k
+    k = 37
+    got = {
+        (r["source"], r["doc_id"])
+        for r in select_best_per_group(df, k=k).collect()
+    }
+    want = set()
+    for src, grp in pdf.groupby("source"):
+        top = grp.sort_values(
+            ["mean_logprob", "doc_id"], ascending=[False, True]
+        ).head(k)
+        want |= {(src, d) for d in top["doc_id"]}
+    assert got == want
+
+    # --- batch_by_length: positions dense per len_bucket in (n_tok, id)
+    # order; every batch is a contiguous slice of that order
+    bb = batch_by_length(df, batch_size=32, length_bucket=64).toPandas()
+    for bk, grp in bb.groupby("len_bucket"):
+        ordered = grp.sort_values(["n_tok", "doc_id"]).reset_index(drop=True)
+        pos = (
+            ordered["batch_id"].str.split("-").str[1].astype(int) * 32
+            + ordered["batch_pos"]
+        )
+        assert list(pos) == list(range(len(grp)))
+
+    # --- curriculum approx tier: same schema, buckets 1..n, and bucket
+    # membership deviates from exact only near cutpoints (ties make the
+    # comparison population-level: bucket sizes within 15%)
+    exact = curriculum_buckets(df, n_buckets=4).toPandas()
+    approx = curriculum_buckets(df, n_buckets=4, exact=False).toPandas()
+    assert set(approx["curriculum_bucket"]) <= {1, 2, 3, 4}
+    ex_sizes = exact.groupby(["source", "curriculum_bucket"]).size()
+    ap_sizes = approx.groupby(["source", "curriculum_bucket"]).size()
+    for key in ex_sizes.index:
+        e = ex_sizes[key]
+        a = ap_sizes.get(key, 0)
+        assert abs(a - e) <= max(3, 0.3 * e), (key, e, a)
+    # higher bucket number == strictly lower-or-equal score band
+    for src, grp in approx.groupby("source"):
+        med = grp.groupby("curriculum_bucket")["mean_logprob"].median()
+        assert med.sort_index().is_monotonic_decreasing
