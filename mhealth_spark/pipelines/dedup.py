@@ -976,6 +976,7 @@ def semantic_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "sem0",
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
     semantic duplicates are pairs that land in the SAME coarse embedding
@@ -1006,7 +1007,9 @@ def semantic_pairs(
         .select(F.col(id_col).alias("id"), "cid")
         .localCheckpoint(eager=True)
     )
-    return _semantic_pairs_from(assigned, emb, threshold, id_col, vec_col)
+    return _semantic_pairs_from(
+        assigned, emb, threshold, id_col, vec_col, broadcast_vectors
+    )
 
 
 def _semantic_pairs_from(
@@ -1015,9 +1018,13 @@ def _semantic_pairs_from(
     threshold: float,
     id_col: str,
     vec_col: str,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
-    """Within-cluster pair expansion + broadcast exact-cosine refine over a
-    materialized narrow (id, cid) assignment."""
+    """Within-cluster pair expansion + exact-cosine refine over a
+    materialized narrow (id, cid) assignment. ``broadcast_vectors=False``
+    swaps the vector-rejoin broadcasts for shuffled hash joins keyed on
+    id — required once the embedding table exceeds the broadcast budget
+    (the 100-TB default; both paths emit identical pairs)."""
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = a.join(
         b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id"))
@@ -1046,9 +1053,11 @@ def _semantic_pairs_from(
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
-        cand.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.round("cosine", 9) >= threshold)
         .select("id_a", "id_b", "cid", "cosine")
@@ -1062,6 +1071,7 @@ def semantic_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "sem0",
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Full SemDeDup keep/drop decision per vector: semantic-duplicate
     pairs (``semantic_pairs``) are closed into groups (connected
@@ -1087,14 +1097,20 @@ def semantic_keep(
         .localCheckpoint(eager=True)
     )
     pairs = _semantic_pairs_from(
-        assigned.select("id", "cid"), emb, threshold, id_col, vec_col
+        assigned.select("id", "cid"), emb, threshold, id_col, vec_col,
+        broadcast_vectors,
     )
-    comp = neardup_components(pairs)  # (doc_id, cluster_id)
-    labeled = assigned.join(
-        F.broadcast(comp.select(F.col("doc_id").alias("id"), "cluster_id")),
-        "id",
-        "left",
-    ).withColumn("group_id", F.coalesce("cluster_id", F.col("id")))
+    # the duplicate-group map is one row per DUPLICATE doc — unbounded on
+    # a dup-heavy corpus, so it follows the same broadcast budget switch
+    # as the vector rejoin (shuffled left join keyed on id past it)
+    comp = neardup_components(pairs).select(
+        F.col("doc_id").alias("id"), "cluster_id"
+    )
+    if broadcast_vectors:
+        comp = F.broadcast(comp)
+    labeled = assigned.join(comp, "id", "left").withColumn(
+        "group_id", F.coalesce("cluster_id", F.col("id"))
+    )
     # winner per duplicate group: lowest centroid affinity, then lowest id
     from pyspark.sql import Window
 

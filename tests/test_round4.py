@@ -504,3 +504,68 @@ def test_scale_paths_select_best_and_batching(spark):
     for src, grp in approx.groupby("source"):
         med = grp.groupby("curriculum_bucket")["mean_logprob"].median()
         assert med.sort_index().is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup broadcast fallback (100-TB budget switch)
+# ---------------------------------------------------------------------------
+def _planted_emb(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 12)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    for i in range(0, 40, 4):  # plant near-duplicates (cosine ~0.999)
+        d = base[i] + 0.02 * rng.randn(12)
+        vecs.append(d / np.linalg.norm(d))
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_semantic_dedup_fallback_identical(spark):
+    """broadcast_vectors=False (shuffled vector rejoin + shuffled
+    component map join) must emit exactly the broadcast tier's pairs and
+    keep decisions — same budget-switch pattern as the span/line/cdc
+    dedup fallbacks."""
+    from mhealth_spark.pipelines.dedup import semantic_keep, semantic_pairs
+
+    emb = _planted_emb(spark)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(semantic_pairs(emb, 8, 0.95)) == canon(
+        semantic_pairs(emb, 8, 0.95, broadcast_vectors=False)
+    )
+    bc = canon(semantic_keep(emb, 8, 0.95))
+    sh = canon(semantic_keep(emb, 8, 0.95, broadcast_vectors=False))
+    assert bc == sh
+    assert any(not r[-1] for r in bc)  # planted dups actually dropped
+
+
+def test_semantic_pairs_fallback_plan_has_no_broadcast(spark):
+    """broadcast_vectors=False must not plan a BroadcastHashJoin for the
+    vector-rejoin equi-joins (the whole point of the fallback)."""
+    from mhealth_spark.pipelines.dedup import semantic_pairs
+
+    emb = _planted_emb(spark)
+    # the flag removes the broadcast HINT; Catalyst may still pick a
+    # broadcast for a provably tiny input (size stats) — disable the
+    # auto threshold so the assertion isolates the hint
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            semantic_pairs(emb, 8, 0.95, broadcast_vectors=False)
+            ._jdf.queryExecution()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for line in plan.splitlines():
+        if "Join" in line and ("id_a" in line or "id_b" in line):
+            assert "Broadcast" not in line, line
