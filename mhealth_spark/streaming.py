@@ -1346,3 +1346,170 @@ def stream_winnow_match(
         .drop("_m")
         .withColumn("winnow_flagged", F.col("n_matched") >= min_matches)
     )
+
+
+def stream_minhash_dedup(
+    docs: DataFrame,
+    index_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 5,
+    hash_fn: str = "xxh",
+    broadcast_new: bool = True,
+):
+    """Online near-duplicate ingest gate: the streaming face of
+    ``dedup.minhash_lsh_candidates_incremental`` closed into a KEEP/DROP
+    decision per arriving document, with the survivor index maintained
+    in place — the lambda bridge ``stream_hour_partials`` provides for
+    aggregates, here for fuzzy dedup.
+
+    Contract (greedy first-survivor-wins): documents are processed in
+    (micro-batch, id) order; a document is a duplicate iff it LSH-
+    collides with an earlier SURVIVOR — either one already in the
+    persisted index or a smaller-id survivor in its own batch. This is
+    the greedy maximal-independent-set of the collision graph in arrival
+    order, the standard ONLINE dedup semantics: it is deliberately not
+    the batch pipeline's global min-per-component (impossible online —
+    a later, smaller-id member of a component cannot retroactively evict
+    an already-emitted survivor). Only survivors enter the index, so the
+    index stays duplicate-free and grows sub-linearly on dup-heavy
+    streams. Collision == duplicate (the probabilistic LSH contract,
+    same as the batch candidate op); the index stores signatures only,
+    so an exact-Jaccard verify tier would need survivor text retained
+    downstream — run ``jaccard_verify_pairs`` there if needed.
+
+    Scale shape: the probe broadcasts the BATCH's band buckets (bounded
+    by the micro-batch; ``broadcast_new=False`` falls back to a shuffled
+    (band, bucket) equi-join for jumbo backfill batches) so the index is
+    scanned once per batch and never shuffled — at warehouse scale write
+    ``index_path`` partitioned by band so the probe prunes to touched
+    partitions. In-batch resolution (connected components + per-
+    component greedy) is bounded by the batch's own collision graph,
+    never the corpus. Exactly-once under ``foreachBatch`` retries: both
+    stores write ``mode("overwrite")`` into the batch's own
+    ``batch=<id>`` directory and every read of the index excludes the
+    live batch's directory, so a replayed micro-batch rewrites the same
+    files — the emitted decisions and the index contents are replay-
+    stable (ids are assumed unique across the stream).
+
+    Returns the configured ``DataStreamWriter`` — attach a trigger and
+    ``checkpointLocation`` and ``.start()``.
+    """
+    from mhealth_spark.pipelines.dedup import minhash_index, neardup_components
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        bdocs = (
+            batch.select(id_col, text_col)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
+        nb = minhash_index(
+            bdocs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
+        ).localCheckpoint(eager=True)
+
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch") != batch_id)
+                .drop("batch")
+            )
+        except AnalysisException:  # first batch: no index yet
+            store = None
+
+        killed_idx = None
+        if store is not None:
+            probe = F.broadcast(nb) if broadcast_new else nb
+            killed_idx = (
+                store.select(F.col(id_col).alias("_old"), "band", "bucket")
+                .join(
+                    probe.withColumnRenamed(id_col, "_new"),
+                    ["band", "bucket"],
+                )
+                .groupBy(F.col("_new").alias(id_col))
+                .agg(F.min("_old").alias("dup_of"))
+                .localCheckpoint(eager=True)
+            )
+
+        alive_sigs = nb
+        if killed_idx is not None:
+            alive_sigs = nb.join(killed_idx.select(id_col), id_col, "left_anti")
+        # in-batch pairs among index-surviving docs: the same groupBy-
+        # bucket expansion the batch op uses (id_a < id_b)
+        grouped = (
+            alive_sigs.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        n = F.size(F.col("ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, n),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        in_pairs = (
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        id_t = dict(bdocs.dtypes)[id_col]
+        killed_greedy = spark.createDataFrame(
+            [], f"`{id_col}` {id_t}, dup_of {id_t}"
+        )
+        if not in_pairs.isEmpty():
+            comp = neardup_components(in_pairs)
+            edges = in_pairs.join(
+                comp.withColumnRenamed("doc_id", "id_a"), "id_a"
+            ).select("cluster_id", "id_a", "id_b")
+
+            def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+                nodes = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
+                nbrs: dict = {v: set() for v in nodes}
+                for a, b in zip(pdf["id_a"], pdf["id_b"]):
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+                kept: set = set()
+                out = []
+                for v in nodes:  # ascending id == arrival order in batch
+                    hit = sorted(kept & nbrs[v])
+                    if hit:
+                        out.append((v, hit[0]))
+                    else:
+                        kept.add(v)
+                return pd.DataFrame(out, columns=[id_col, "dup_of"])
+
+            killed_greedy = edges.groupBy("cluster_id").applyInPandas(
+                greedy, f"`{id_col}` {id_t}, dup_of {id_t}"
+            )
+
+        killed = killed_greedy
+        if killed_idx is not None:
+            killed = killed_idx.unionByName(killed_greedy)
+        out = (
+            bdocs.join(killed, id_col, "left")
+            .select(
+                id_col,
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        nb.join(
+            out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
+        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    return docs.writeStream.outputMode("append").foreachBatch(_emit)

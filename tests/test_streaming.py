@@ -1183,3 +1183,120 @@ def test_stream_training_set_stream_wiring(spark, tmp_path):
         ["source", "_hr"]
     )
     _assert_frames_equal(got, _ts_reference(spark, store))
+
+
+def test_stream_minhash_dedup_matches_sequential_greedy(spark, tmp_path):
+    """The online near-dup gate must implement greedy first-survivor-wins
+    over the SAME collision graph the batch candidate op emits: replaying
+    the corpus as 3 ordered micro-batches (maxFilesPerTrigger=1) must
+    reproduce a sequential Python greedy over batch
+    ``minhash_lsh_candidates`` pairs exactly (is_dup AND dup_of), the
+    index must hold survivors only, and a full re-run (fresh checkpoint,
+    same dirs) must be byte-identical (replay idempotence)."""
+    import os
+
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+    from mhealth_spark.streaming import stream_minhash_dedup
+
+    # 3 batches; heavy cross-batch and in-batch near-duplication
+    tmpl = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow said the old librarian",
+    ]
+
+    def doc(i, t, extra):
+        return (i, tmpl[t] + " " + extra)
+
+    batches = [
+        [doc(1, 0, "alpha"), doc(2, 1, "beta"), doc(3, 0, "alpha gamma")],
+        [doc(10, 0, "alpha"), doc(11, 2, "delta"), doc(12, 1, "beta x")],
+        [doc(20, 0, "alpha gamma"), doc(21, 2, "delta"), doc(22, 2, "unique epsilon zeta")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    order = []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for bi, rows in enumerate(batches):
+        p = str(src / f"b{bi}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1700000000 + bi * 100, 1700000000 + bi * 100))
+        order.extend(sorted(r[0] for r in rows))
+
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in minhash_lsh_candidates(all_docs, **kw)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+
+    # sequential greedy reference in (batch, id) order, mirroring the
+    # op's dup_of attribution (index hit wins over in-batch hit)
+    expected = {}
+    survivors: set = set()
+    batch_of = {r[0]: bi for bi, rows in enumerate(batches) for r in rows}
+    for v in order:
+        hit_idx = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] < batch_of[v]
+        )
+        hit_in = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] == batch_of[v]
+        )
+        if hit_idx:
+            expected[v] = (True, hit_idx[0])
+        elif hit_in:
+            expected[v] = (True, hit_in[0])
+        else:
+            expected[v] = (False, None)
+            survivors.add(v)
+
+    def run(tag):
+        idx = str(tmp_path / f"idx_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        stream = (
+            spark.readStream.schema(all_docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_minhash_dedup(stream, idx, out, **kw)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+            for r in spark.read.parquet(out).collect()
+        }
+        idx_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+        }
+        return got, idx_ids
+
+    got, idx_ids = run("a")
+    assert got == expected
+    assert idx_ids == survivors  # survivor-only index
+    assert any(d for d, _ in got.values())  # planted dups actually caught
+    # replay idempotence: a fresh run over the same input is identical
+    got2, idx2 = run("b")
+    assert got2 == got and idx2 == idx_ids
