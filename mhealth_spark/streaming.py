@@ -1348,6 +1348,58 @@ def stream_winnow_match(
     )
 
 
+def _read_store_excluding(spark, path: str, batch_id: int) -> DataFrame | None:
+    """Read a per-batch-partitioned parquet store, excluding the LIVE
+    batch's own directory (exactly-once under foreachBatch replays).
+    Returns None when the store does not exist yet (first batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("batch") != batch_id)
+            .drop("batch")
+        )
+    except AnalysisException:  # first batch: no store yet
+        return None
+
+
+def _greedy_mis_kill(spark, in_pairs: DataFrame, id_col: str, id_t: str) -> DataFrame:
+    """In-batch duplicate resolution shared by the online dedup gates:
+    greedy maximal-independent-set of the batch collision graph in
+    ascending-id (arrival) order — a doc is killed by its smallest KEPT
+    neighbor. Distributed per connected component (components of a
+    micro-batch collision graph are small by construction); returns the
+    killed rows as (id, dup_of)."""
+    from mhealth_spark.pipelines.dedup import neardup_components
+
+    schema = f"`{id_col}` {id_t}, dup_of {id_t}"
+    if in_pairs.isEmpty():
+        return spark.createDataFrame([], schema)
+    comp = neardup_components(in_pairs)
+    edges = in_pairs.join(
+        comp.withColumnRenamed("doc_id", "id_a"), "id_a"
+    ).select("cluster_id", "id_a", "id_b")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
+        nbrs: dict = {v: set() for v in nodes}
+        for a, b in zip(pdf["id_a"], pdf["id_b"]):
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        kept: set = set()
+        out = []
+        for v in nodes:  # ascending id == arrival order in batch
+            hit = sorted(kept & nbrs[v])
+            if hit:
+                out.append((v, hit[0]))
+            else:
+                kept.add(v)
+        return pd.DataFrame(out, columns=[id_col, "dup_of"])
+
+    return edges.groupBy("cluster_id").applyInPandas(greedy, schema)
+
+
 def stream_minhash_dedup(
     docs: DataFrame,
     index_path: str,
@@ -1398,7 +1450,7 @@ def stream_minhash_dedup(
     Returns the configured ``DataStreamWriter`` — attach a trigger and
     ``checkpointLocation`` and ``.start()``.
     """
-    from mhealth_spark.pipelines.dedup import minhash_index, neardup_components
+    from mhealth_spark.pipelines.dedup import minhash_index
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1412,17 +1464,7 @@ def stream_minhash_dedup(
         nb = minhash_index(
             bdocs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
         ).localCheckpoint(eager=True)
-
-        from pyspark.errors import AnalysisException
-
-        try:
-            store = (
-                spark.read.parquet(index_path)
-                .filter(F.col("batch") != batch_id)
-                .drop("batch")
-            )
-        except AnalysisException:  # first batch: no index yet
-            store = None
+        store = _read_store_excluding(spark, index_path, batch_id)
 
         killed_idx = None
         if store is not None:
@@ -1466,35 +1508,7 @@ def stream_minhash_dedup(
         )
 
         id_t = dict(bdocs.dtypes)[id_col]
-        killed_greedy = spark.createDataFrame(
-            [], f"`{id_col}` {id_t}, dup_of {id_t}"
-        )
-        if not in_pairs.isEmpty():
-            comp = neardup_components(in_pairs)
-            edges = in_pairs.join(
-                comp.withColumnRenamed("doc_id", "id_a"), "id_a"
-            ).select("cluster_id", "id_a", "id_b")
-
-            def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-                nodes = sorted(set(pdf["id_a"]) | set(pdf["id_b"]))
-                nbrs: dict = {v: set() for v in nodes}
-                for a, b in zip(pdf["id_a"], pdf["id_b"]):
-                    nbrs[a].add(b)
-                    nbrs[b].add(a)
-                kept: set = set()
-                out = []
-                for v in nodes:  # ascending id == arrival order in batch
-                    hit = sorted(kept & nbrs[v])
-                    if hit:
-                        out.append((v, hit[0]))
-                    else:
-                        kept.add(v)
-                return pd.DataFrame(out, columns=[id_col, "dup_of"])
-
-            killed_greedy = edges.groupBy("cluster_id").applyInPandas(
-                greedy, f"`{id_col}` {id_t}, dup_of {id_t}"
-            )
-
+        killed_greedy = _greedy_mis_kill(spark, in_pairs, id_col, id_t)
         killed = killed_greedy
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed_greedy)
@@ -1513,3 +1527,144 @@ def stream_minhash_dedup(
         ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
 
     return docs.writeStream.outputMode("append").foreachBatch(_emit)
+
+
+def stream_semantic_dedup(
+    emb: DataFrame,
+    centroids: list,
+    store_path: str,
+    output_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    broadcast_new: bool = True,
+):
+    """Online SemDeDup ingest gate — the embedding analog of
+    ``stream_minhash_dedup``: each arriving vector is KEPT or DROPPED by
+    cosine >= ``threshold`` against earlier SURVIVORS, with comparisons
+    bounded to the vector's coarse IVF cluster (the SemDeDup contract:
+    duplicates never straddle coarse clusters). Greedy first-survivor-
+    wins in (micro-batch, id) order, exactly the minhash gate's
+    semantics; only survivors enter the persisted store, so it stays
+    duplicate-free.
+
+    ``centroids`` is the FIXED coarse quantizer (list of vectors, e.g.
+    ``similarity.pick_centroids`` over a warm-start corpus, or Lloyd-
+    refined) — it must not drift while the stream runs, or cluster-
+    bounded comparisons against the existing store would silently miss
+    duplicates; re-quantizing requires rebuilding the store offline.
+
+    Scale shape: assignment is the map-only centroid-literal argmax
+    (``ivf_assign``) — no shuffle; the probe joins the BATCH's assigned
+    vectors (broadcast when ``broadcast_new``, bounded by the micro-
+    batch) against the store on cid, so at warehouse scale a store
+    written partitioned by cid prunes the scan to touched clusters and
+    is never shuffled. Survivor rows persist (id, cid, v, nrm) — norms
+    are computed once, at ingest. Exactly-once via per-batch overwrite
+    directories, live batch excluded from every store read (shared
+    ``_read_store_excluding`` contract). Cosines compare at 9 dp
+    (``F.round``), matching the batch ``semantic_pairs`` refine.
+
+    Returns the configured ``DataStreamWriter`` — attach a trigger and
+    ``checkpointLocation`` and ``.start()``.
+    """
+    from mhealth_spark.pipelines.similarity import ivf_assign
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        assigned = (
+            ivf_assign(
+                batch.select(id_col, vec_col).dropDuplicates([id_col]),
+                centroids,
+                id_col,
+                vec_col,
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("v", lambda x: x * x),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        store = _read_store_excluding(spark, store_path, batch_id)
+
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cos_ok = F.round(dot / (F.col("na") * F.col("nb")), 9) >= threshold
+
+        killed_idx = None
+        if store is not None:
+            probe = assigned.select(
+                F.col(id_col).alias("_new"),
+                "cid",
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            )
+            if broadcast_new:
+                probe = F.broadcast(probe)
+            killed_idx = (
+                store.select(
+                    F.col(id_col).alias("_old"),
+                    "cid",
+                    F.col("v").alias("va"),
+                    F.col("nrm").alias("na"),
+                )
+                .join(probe, "cid")
+                .filter(cos_ok)
+                .groupBy(F.col("_new").alias(id_col))
+                .agg(F.min("_old").alias("dup_of"))
+                .localCheckpoint(eager=True)
+            )
+
+        alive = assigned
+        if killed_idx is not None:
+            alive = assigned.join(killed_idx.select(id_col), id_col, "left_anti")
+        # in-batch pairs among store-surviving vectors: within-cluster
+        # self-join (bounded by the micro-batch), id_a < id_b
+        a = alive.select(
+            F.col(id_col).alias("id_a"), "cid",
+            F.col("v").alias("va"), F.col("nrm").alias("na"),
+        )
+        b = alive.select(
+            F.col(id_col).alias("id_b"), "cid",
+            F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+        )
+        in_pairs = (
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cos_ok)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        id_t = dict(assigned.dtypes)[id_col]
+        killed = _greedy_mis_kill(spark, in_pairs, id_col, id_t)
+        if killed_idx is not None:
+            killed = killed_idx.unionByName(killed)
+        out = (
+            assigned.select(id_col)
+            .join(killed, id_col, "left")
+            .select(
+                id_col,
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+            .localCheckpoint(eager=True)
+        )
+        out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        assigned.join(
+            out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
+        ).select(id_col, "cid", "v", "nrm").write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return emb.writeStream.outputMode("append").foreachBatch(_emit)

@@ -1300,3 +1300,128 @@ def test_stream_minhash_dedup_matches_sequential_greedy(spark, tmp_path):
     # replay idempotence: a fresh run over the same input is identical
     got2, idx2 = run("b")
     assert got2 == got and idx2 == idx_ids
+
+
+def test_stream_semantic_dedup_matches_sequential_greedy(spark, tmp_path):
+    """The online SemDeDup gate must implement greedy first-survivor-wins
+    over the SAME intra-cluster cosine collision graph the batch op
+    derives (fixed centroids): 3 ordered micro-batches must reproduce a
+    sequential greedy over batch ``_semantic_pairs_from`` pairs exactly,
+    the store must hold survivors only, and a re-run must be identical."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.dedup import _semantic_pairs_from
+    from mhealth_spark.pipelines.similarity import ivf_assign, pick_centroids
+    from mhealth_spark.streaming import stream_semantic_dedup
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(18, 10)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = {}
+    ids = iter(range(1, 100))
+    batches = [[], [], []]
+    for i in range(18):
+        vid = next(ids)
+        vecs[vid] = base[i]
+        batches[i % 3].append(vid)
+    # plant near-duplicates across and within batches (cosine ~0.999)
+    for src, tgt_batch in [(1, 1), (4, 2), (7, 0), (1, 2), (10, 1)]:
+        vid = next(ids) + 50  # later ids than all originals
+        d = vecs[src] + 0.01 * rng.randn(10)
+        vecs[vid] = d / np.linalg.norm(d)
+        batches[tgt_batch].append(vid)
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    order = []
+    for bi, vids in enumerate(batches):
+        vids = sorted(vids)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(vids, pa.int64()),
+                    "embedding": [
+                        [float(x) for x in vecs[v]] for v in vids
+                    ],
+                }
+            ),
+            str(src_dir / f"b{bi}.parquet"),
+        )
+        os.utime(
+            str(src_dir / f"b{bi}.parquet"),
+            (1700000000 + bi * 100,) * 2,
+        )
+        order.extend(vids)
+
+    all_emb = spark.createDataFrame(
+        [(v, [float(x) for x in vecs[v]]) for v in sorted(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr, ncl = 0.95, 4
+    cents = pick_centroids(all_emb, ncl, salt="semstream")
+    assigned = ivf_assign(all_emb, cents).select(
+        F.col("vec_id").alias("id"), "cid"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in _semantic_pairs_from(assigned, all_emb, thr, "vec_id", "embedding")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    nbrs = {}
+    for x, y in pairs:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+
+    batch_of = {v: bi for bi, vids in enumerate(batches) for v in vids}
+    expected, survivors = {}, set()
+    for v in order:
+        hit_idx = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] < batch_of[v]
+        )
+        hit_in = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] == batch_of[v]
+        )
+        if hit_idx:
+            expected[v] = (True, hit_idx[0])
+        elif hit_in:
+            expected[v] = (True, hit_in[0])
+        else:
+            expected[v] = (False, None)
+            survivors.add(v)
+
+    def run(tag):
+        st = str(tmp_path / f"store_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        stream = (
+            spark.readStream.schema(all_emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            stream_semantic_dedup(stream, cents, st, out, threshold=thr)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["vec_id"]: (bool(r["is_dup"]), r["dup_of"])
+            for r in spark.read.parquet(out).collect()
+        }
+        sids = {
+            r["vec_id"]
+            for r in spark.read.parquet(st).select("vec_id").distinct().collect()
+        }
+        return got, sids
+
+    got, sids = run("a")
+    assert got == expected
+    assert sids == survivors
+    assert sum(d for d, _ in got.values()) >= 4  # planted dups caught
+    got2, sids2 = run("b")
+    assert got2 == got and sids2 == sids
