@@ -1668,3 +1668,72 @@ def stream_semantic_dedup(
         )
 
     return emb.writeStream.outputMode("append").foreachBatch(_emit)
+
+
+def compact_batch_store(
+    spark,
+    path: str,
+    dedup_cols: list | None = None,
+    exclude_last: bool = True,
+) -> dict:
+    """Fold the per-micro-batch ``batch=<id>`` directories of an online
+    store (dedup gate index, partial table, training-set output) into a
+    single snapshot partition — the maintenance op that keeps a store
+    readable after months of streaming (one directory per micro-batch is
+    the classic small-files wall: listing cost and per-file open overhead
+    grow linearly with stream age while row volume doesn't).
+
+    Snapshot protocol (every crash window is duplicate-tolerant, never
+    lossy): the folded union is written to a dot-prefixed temp dir
+    (invisible to parquet readers), renamed to the next NEGATIVE
+    generation id (``batch=-1``, ``-2``, ... — re-compaction folds prior
+    snapshots too), and only then are the folded directories deleted. A
+    crash before the rename leaves the store untouched; after it, at
+    worst both snapshot and folded dirs are visible — these stores are
+    read with duplicate-tolerant semantics (dedup-keyed dropDuplicates
+    or idempotent kill joins), so duplicates cost space, not answers.
+
+    Safety while the stream RUNS: ``foreachBatch`` is at-least-once with
+    only the LAST batch replayable, so ``exclude_last=True`` (default)
+    leaves the highest non-negative id unfolded; pass False only with
+    the stream stopped. A FULL compact also frees batch ids 0.. — a
+    restart with a fresh checkpoint no longer collides with history
+    (negative generations are never assigned by Structured Streaming).
+
+    ``dedup_cols`` collapses rows on those keys while folding (e.g.
+    ``[entity, "_hr"]`` for partial stores). Local-FS rename/delete
+    here, matching ``checkpoint.py``; on an object store swap the two
+    ``os`` calls for the FileSystem API — the protocol is identical.
+    Returns {"snapshot": id, "folded": [ids], "rows": n} (no-op dict
+    when there is nothing to fold)."""
+    import os
+    import shutil
+
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch=")
+    )
+    fold = list(ids)
+    if exclude_last:
+        nonneg = [i for i in fold if i >= 0]
+        if nonneg:
+            fold.remove(max(nonneg))
+    if len(fold) < 2:
+        return {"snapshot": None, "folded": [], "rows": 0}
+    snap_id = min(ids + [0]) - 1
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("batch").isin(fold))
+        .drop("batch")
+    )
+    if dedup_cols:
+        df = df.dropDuplicates(list(dedup_cols))
+    tmp = os.path.join(path, ".compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    os.rename(tmp, os.path.join(path, f"batch={snap_id}"))
+    for i in fold:
+        shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
+    return {"snapshot": snap_id, "folded": fold, "rows": rows}

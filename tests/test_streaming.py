@@ -1425,3 +1425,107 @@ def test_stream_semantic_dedup_matches_sequential_greedy(spark, tmp_path):
     assert sum(d for d, _ in got.values()) >= 4  # planted dups caught
     got2, sids2 = run("b")
     assert got2 == got and sids2 == sids
+
+
+def test_compact_batch_store_continuation_equivalence(spark, tmp_path):
+    """Compacting a gate's survivor index must not change any future
+    decision: two identical streams diverge only in that one's store is
+    compacted between runs; after new data arrives, their outputs and
+    survivor sets must be identical. Also checks the snapshot protocol:
+    folded dirs removed, negative generation created, running-stream
+    safety (exclude_last leaves the frontier batch), and re-compaction
+    folding a prior snapshot."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.streaming import compact_batch_store, stream_minhash_dedup
+
+    tmpl = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow said the old librarian",
+    ]
+    batches = [
+        [(1, tmpl[0] + " alpha"), (2, tmpl[1] + " beta")],
+        [(10, tmpl[0] + " alpha"), (11, tmpl[2] + " delta")],
+        [(20, tmpl[1] + " beta"), (21, tmpl[2] + " unique zeta")],
+    ]
+    continuation = [(30, tmpl[2] + " delta"), (31, tmpl[0] + " alpha"),
+                    (32, "completely novel text with no template at all here")]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(bi, rows):
+        p = str(src / f"b{bi}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1700000000 + bi * 100,) * 2)
+
+    for bi, rows in enumerate(batches):
+        write_file(bi, rows)
+
+    schema = "doc_id long, text string"
+    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream_minhash_dedup(
+                stream, str(tmp_path / f"idx_{tag}"), str(tmp_path / f"out_{tag}"), **kw
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def state(tag):
+        out = {
+            (r["doc_id"], bool(r["is_dup"]), r["dup_of"])
+            for r in spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()
+        }
+        idx = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / f"idx_{tag}"))
+            .drop("batch")
+            .collect()
+        }
+        return out, idx
+
+    run("x")
+    run("y")
+    assert state("x") == state("y")
+
+    idx_y = str(tmp_path / "idx_y")
+    res = compact_batch_store(spark, idx_y, exclude_last=False)
+    assert res["snapshot"] == -1 and sorted(res["folded"]) == [0, 1, 2]
+    assert sorted(os.listdir(idx_y)) == ["batch=-1"]
+    assert state("x")[1] == state("y")[1]  # row set preserved
+
+    write_file(3, continuation)
+    run("x")
+    run("y")
+    assert state("x") == state("y")  # compaction changed no decision
+    assert {d for d in os.listdir(idx_y)} == {"batch=-1", "batch=3"}
+
+    # running-stream safety: frontier batch is never folded
+    res2 = compact_batch_store(spark, idx_y, exclude_last=True)
+    assert res2["folded"] == []
+    # full re-compaction folds the prior snapshot into the next generation
+    res3 = compact_batch_store(spark, idx_y, exclude_last=False)
+    assert res3["snapshot"] == -2 and sorted(res3["folded"]) == [-1, 3]
+    assert sorted(os.listdir(idx_y)) == ["batch=-2"]
+    assert state("x")[1] == state("y")[1]
