@@ -1529,3 +1529,50 @@ def test_compact_batch_store_continuation_equivalence(spark, tmp_path):
     assert res3["snapshot"] == -2 and sorted(res3["folded"]) == [-1, 3]
     assert sorted(os.listdir(idx_y)) == ["batch=-2"]
     assert state("x")[1] == state("y")[1]
+
+
+def test_training_set_stores_survive_compaction(spark, tmp_path):
+    """Compacting BOTH online training-set stores (partials and emitted
+    output) between micro-batches must leave every future emission
+    identical to the uncompacted twin — the partial store folds on its
+    (entity, hour) key, and the emitted-frontier recovery reads the
+    snapshot generation like any other batch directory."""
+    from mhealth_spark.streaming import _training_set_emit_fn, compact_batch_store
+    from mhealth_spark.synth import materialize_synth_tokens
+    from mhealth_spark.tokens_engine import hour_partials
+
+    events = spark.read.parquet(materialize_synth_tokens(spark, 500, seed=23))
+    cuts = [dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)]
+    parts = [
+        hour_partials(events.filter(F.col("ts") < F.lit(cuts[0]))),
+        hour_partials(
+            events.filter(
+                (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+            )
+        ),
+        hour_partials(events.filter(F.col("ts") >= F.lit(cuts[1]))),
+    ]
+
+    def run(tag, compact_after_1):
+        pdir, odir = str(tmp_path / f"p_{tag}"), str(tmp_path / f"o_{tag}")
+        emit = _training_set_emit_fn(pdir, odir)
+        for bi, p in enumerate(parts):
+            emit(p, bi)
+            if bi == 1 and compact_after_1:
+                rp = compact_batch_store(
+                    spark, pdir, dedup_cols=["source", "_hr"], exclude_last=False
+                )
+                ro = compact_batch_store(spark, odir, exclude_last=False)
+                assert rp["snapshot"] == -1 and ro["snapshot"] == -1
+        return (
+            spark.read.parquet(odir)
+            .drop("batch")
+            .toPandas()
+            .sort_values(["source", "ts"])
+            .reset_index(drop=True)
+        )
+
+    plain = run("plain", False)
+    compacted = run("comp", True)
+    _assert_frames_equal(plain, compacted)
+    assert len(plain) > 0 and not plain.duplicated(["source", "ts"]).any()
