@@ -185,6 +185,7 @@ def quality_filter(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: bool = False,
     **overrides: float,
 ) -> DataFrame:
     """Composite pretraining quality filter (the Gopher/RefinedWeb rule
@@ -197,9 +198,15 @@ def quality_filter(
     100 TB this is a map-only pass that composes with any scan. All
     ratios are exact integer-division doubles, so thresholds compare
     identically in any IEEE engine (the DuckDB oracle replays them
-    verbatim)."""
+    verbatim).
+
+    ``keep_cols=True`` returns every input column plus keep/reasons
+    instead of the narrow (id, keep, reasons) projection — the shape a
+    STREAMING pipeline needs, where the decision cannot be joined back
+    onto the stream (no stream self-joins); still map-only."""
     th = {**DEFAULT_QUALITY_THRESHOLDS, **overrides}
-    q = quality_features(df.select(F.col(id_col), F.col(text_col)), text_col)
+    base = df if keep_cols else df.select(F.col(id_col), F.col(text_col))
+    q = quality_features(base, text_col)
     for n in (2, 5):
         grams = shingles_all_col(text_col, n)
         total = F.size(grams)
@@ -228,11 +235,12 @@ def quality_filter(
     fails = F.array_compact(
         F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
     )
-    return (
-        q.withColumn("reasons", F.concat_ws(",", fails))
-        .withColumn("keep", F.col("reasons") == "")
-        .select(id_col, "keep", "reasons")
+    out = q.withColumn("reasons", F.concat_ws(",", fails)).withColumn(
+        "keep", F.col("reasons") == ""
     )
+    if keep_cols:
+        return out.select(*df.columns, "keep", "reasons")
+    return out.select(id_col, "keep", "reasons")
 
 
 PII_PATTERNS = [

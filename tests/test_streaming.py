@@ -1576,3 +1576,120 @@ def test_training_set_stores_survive_compaction(spark, tmp_path):
     compacted = run("comp", True)
     _assert_frames_equal(plain, compacted)
     assert len(plain) > 0 and not plain.duplicated(["source", "ts"]).any()
+
+
+def test_online_corpus_gate_composition(spark, tmp_path):
+    """The full online ingest gate composed from existing pieces in ONE
+    stream — quality_filter(keep_cols=True) -> stream_decontaminate ->
+    stream_minhash_dedup — must equal the same stages applied in batch:
+    the gate's output ids are exactly the quality+decontamination
+    survivors, and dup decisions follow the sequential greedy over the
+    batch collision graph restricted to those survivors."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.corpus import decontaminate
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+    from mhealth_spark.pipelines.text import quality_filter
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import stream_decontaminate, stream_minhash_dedup
+
+    docs = (
+        read_table(spark, "documents", "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .localCheckpoint(eager=True)
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 3).limit(5)
+
+    # --- batch reference: stage filters, then sequential greedy ---
+    kept_q = {r.doc_id for r in quality_filter(docs).filter("keep").collect()}
+    kept_d = {
+        r.doc_id
+        for r in decontaminate(
+            docs.join(
+                spark.createDataFrame([(i,) for i in kept_q], "doc_id long"),
+                "doc_id",
+            ),
+            bench,
+        ).collect()
+    }
+    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+    surv_docs = docs.filter(F.col("doc_id").isin(list(kept_d)))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(surv_docs, **kw)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    nbrs = {}
+    for x, y in pairs:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+
+    all_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    files = [all_ids[:40], all_ids[40:80], all_ids[80:]]
+    batch_of = {i: bi for bi, ids in enumerate(files) for i in ids}
+    expected, survivors = {}, set()
+    for ids in files:
+        for v in ids:
+            if v not in kept_d:
+                continue
+            hit_i = sorted(
+                s for s in survivors & nbrs.get(v, set()) if batch_of[s] < batch_of[v]
+            )
+            hit_b = sorted(
+                s for s in survivors & nbrs.get(v, set()) if batch_of[s] == batch_of[v]
+            )
+            if hit_i:
+                expected[v] = (True, hit_i[0])
+            elif hit_b:
+                expected[v] = (True, hit_b[0])
+            else:
+                expected[v] = (False, None)
+                survivors.add(v)
+
+    # --- the composed stream ---
+    src = tmp_path / "src"
+    src.mkdir()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for bi, ids in enumerate(files):
+        p = str(src / f"b{bi}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": [texts[i] for i in ids],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1700000000 + bi * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    gated = stream_decontaminate(
+        quality_filter(stream, keep_cols=True).filter("keep"), bench
+    )
+    q = (
+        stream_minhash_dedup(
+            gated, str(tmp_path / "idx"), str(tmp_path / "out"), **kw
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+    assert len(kept_d) < len(kept_q) <= 120  # each stage actually filtered
+    assert any(d for d, _ in got.values())  # the dedup stage actually fired
