@@ -839,3 +839,30 @@ def embedding_outliers(
             )
         ).alias("is_outlier"),
     )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental growth of a persisted IVF index: assign the new batch
+    to the FIXED coarse quantizer (map-only centroid-literal argmax, no
+    shuffle) and append into the cid-partitioned store — only the
+    partitions the batch actually lands in are touched, the existing
+    index is never read or rewritten, and a subsequent ``ann_ivf_probe``
+    over the store sees exactly the index a full rebuild would produce
+    (pytest-asserted). The quantizer must be the one the index was built
+    with — re-quantizing requires a rebuild (same invariant as
+    ``streaming.stream_semantic_dedup``).
+
+    Appends accumulate one file per batch per touched partition; on a
+    long-lived index fold them periodically (e.g.
+    ``spark.read.parquet(p).write.option("maxRecordsPerFile", ...)`` to
+    a fresh path, or a compaction pass per cid) — file count, not row
+    count, is what degrades probe latency at scale."""
+    ivf_assign(new_vectors, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(index_path)

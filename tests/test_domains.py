@@ -1911,3 +1911,68 @@ def test_split_leakage_crafted_groups(spark):
     assert sorted(r.doc_ids) == sorted([a_train, a_val])
     assert list(r.splits) == ["train", "val"]
     assert (r.n_docs, r.n_splits) == (2, 2)
+
+
+def test_ivf_append_probe_equals_rebuild(spark, tmp_path):
+    """Incremental index growth: building the IVF index from a base
+    corpus then ivf_append-ing two more batches must leave the persisted
+    store probe-identical to a one-shot rebuild over the full corpus,
+    and the append must only add files (never rewrite existing
+    partition contents)."""
+    import os
+
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivf_probe,
+        ivf_append,
+        ivf_assign,
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter("vec_id % 3 = 0")
+    b1 = emb.filter("vec_id % 3 = 1")
+    b2 = emb.filter("vec_id % 3 = 2")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # the quantizer is FIXED at base-build time (the invariant)
+    cents = pick_centroids(base, 16)
+
+    inc_path = str(tmp_path / "inc")
+    ivf_assign(base, cents).write.partitionBy("cid").parquet(inc_path)
+    files_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    ivf_append(b1, cents, inc_path)
+    ivf_append(b2, cents, inc_path)
+    files_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after and len(files_after) > len(files_before)
+
+    full_path = str(tmp_path / "full")
+    ivf_assign(emb, cents).write.partitionBy("cid").parquet(full_path)
+
+    key = ["query_id", "neighbor_id", "rank"]
+    a = (
+        ann_ivf_probe(spark.read.parquet(inc_path), cents, queries, k=5, n_probe=4)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        ann_ivf_probe(spark.read.parquet(full_path), cents, queries, k=5, n_probe=4)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(
+        a["cosine"].to_numpy(), b["cosine"].to_numpy(), rtol=1e-12
+    )
