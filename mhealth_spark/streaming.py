@@ -1440,7 +1440,17 @@ def stream_minhash_dedup(
     ``index_path`` partitioned by band so the probe prunes to touched
     partitions. In-batch resolution (connected components + per-
     component greedy) is bounded by the batch's own collision graph,
-    never the corpus. Exactly-once under ``foreachBatch`` retries: both
+    never the corpus. EXACT duplicates pre-collapse before the LSH graph
+    (group by text fingerprint, the group minimum represents): a mass-
+    duplicate backfill batch — millions of identical boilerplate pages,
+    the realistic crawler case — would otherwise make every bucket's
+    pair expansion quadratic in the copy count. The collapse preserves
+    the greedy semantics EXACTLY, not approximately: identical text ⇒
+    identical signature ⇒ identical collision neighborhood, so a member
+    is killed by its representative when the representative survives
+    and inherits the representative's killer otherwise (pytest-asserted
+    against the uncollapsed sequential greedy). Exactly-once under
+    ``foreachBatch`` retries: both
     stores write ``mode("overwrite")`` into the batch's own
     ``batch=<id>`` directory and every read of the index excludes the
     live batch's directory, so a replayed micro-batch rewrites the same
@@ -1459,10 +1469,18 @@ def stream_minhash_dedup(
         bdocs = (
             batch.select(id_col, text_col)
             .dropDuplicates([id_col])
+            .withColumn("_fp", F.md5(F.col(text_col)))
             .localCheckpoint(eager=True)
         )
+        # exact-duplicate pre-collapse: only each text fingerprint's
+        # minimum id enters the LSH graph (see docstring — semantics
+        # preserved exactly, pair expansion bounded by DISTINCT texts)
+        rep_of = bdocs.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+        rep_docs = bdocs.join(
+            rep_of.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
         nb = minhash_index(
-            bdocs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
+            rep_docs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
         ).localCheckpoint(eager=True)
         store = _read_store_excluding(spark, index_path, batch_id)
 
@@ -1512,8 +1530,26 @@ def stream_minhash_dedup(
         killed = killed_greedy
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed_greedy)
+        rep_out = rep_docs.select(id_col).join(killed, id_col, "left")
+        # exact-dup members inherit: killed by their representative when
+        # it survives, by the representative's killer otherwise
+        members = (
+            bdocs.join(rep_of, "_fp")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .join(
+                rep_out.select(
+                    F.col(id_col).alias("_rep"),
+                    F.col("dup_of").alias("_rep_dup_of"),
+                ),
+                "_rep",
+            )
+            .select(
+                id_col,
+                F.coalesce("_rep_dup_of", F.col("_rep")).alias("dup_of"),
+            )
+        )
         out = (
-            bdocs.join(killed, id_col, "left")
+            rep_out.unionByName(members)
             .select(
                 id_col,
                 F.col("dup_of").isNotNull().alias("is_dup"),
@@ -1574,9 +1610,34 @@ def stream_semantic_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        bvecs = (
+            batch.select(id_col, vec_col)
+            .dropDuplicates([id_col])
+            .withColumn(
+                "_fp",
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(F.col(vec_col), lambda x: x.cast("string")),
+                    )
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # exact-duplicate pre-collapse, same contract as the minhash
+        # gate: identical vector => identical cid and identical cosine
+        # to everything (and cos(v, v) = 1 >= any threshold), so only
+        # the fingerprint minimum enters the cluster graph and members
+        # inherit its fate — in-cluster pair cost is bounded by DISTINCT
+        # vectors, not copies
+        rep_of = bvecs.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
         assigned = (
             ivf_assign(
-                batch.select(id_col, vec_col).dropDuplicates([id_col]),
+                bvecs.join(
+                    rep_of.select(F.col("_rep").alias(id_col)),
+                    id_col,
+                    "left_semi",
+                ).select(id_col, vec_col),
                 centroids,
                 id_col,
                 vec_col,
@@ -1650,9 +1711,24 @@ def stream_semantic_dedup(
         killed = _greedy_mis_kill(spark, in_pairs, id_col, id_t)
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed)
+        rep_out = assigned.select(id_col).join(killed, id_col, "left")
+        members = (
+            bvecs.join(rep_of, "_fp")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .join(
+                rep_out.select(
+                    F.col(id_col).alias("_rep"),
+                    F.col("dup_of").alias("_rep_dup_of"),
+                ),
+                "_rep",
+            )
+            .select(
+                id_col,
+                F.coalesce("_rep_dup_of", F.col("_rep")).alias("dup_of"),
+            )
+        )
         out = (
-            assigned.select(id_col)
-            .join(killed, id_col, "left")
+            rep_out.unionByName(members)
             .select(
                 id_col,
                 F.col("dup_of").isNotNull().alias("is_dup"),

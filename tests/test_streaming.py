@@ -1334,6 +1334,12 @@ def test_stream_semantic_dedup_matches_sequential_greedy(spark, tmp_path):
         d = vecs[src] + 0.01 * rng.randn(10)
         vecs[vid] = d / np.linalg.norm(d)
         batches[tgt_batch].append(vid)
+    # plant EXACT copies (bit-identical vectors) in-batch and cross-batch
+    # — exercises the gate's fingerprint pre-collapse member path
+    for src, tgt_batch in [(2, 0), (2, 0), (5, 1), (2, 2)]:
+        vid = next(ids) + 50
+        vecs[vid] = vecs[src]
+        batches[tgt_batch].append(vid)
 
     src_dir = tmp_path / "src"
     src_dir.mkdir()
@@ -1693,3 +1699,102 @@ def test_online_corpus_gate_composition(spark, tmp_path):
     assert got == expected
     assert len(kept_d) < len(kept_q) <= 120  # each stage actually filtered
     assert any(d for d, _ in got.values())  # the dedup stage actually fired
+
+
+def test_stream_minhash_dedup_exact_flood_collapse(spark, tmp_path):
+    """Mass-exact-duplicate batches (the crawler boilerplate case): the
+    internal fingerprint pre-collapse must leave decisions EXACTLY equal
+    to the uncollapsed sequential greedy — first copy survives, every
+    other copy (in-batch and cross-batch) attributes to it, near-dups of
+    the flooded text attribute to the surviving copy, and the index
+    holds only the survivors."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+    from mhealth_spark.streaming import stream_minhash_dedup
+
+    boiler = "cookie notice please accept our terms and conditions to continue reading this site"
+    other = "completely unrelated original article text about sphinx quartz judges and vows"
+    b0 = [(i, boiler) for i in range(1, 31)] + [(31, other)]
+    b1 = [(i, boiler) for i in range(40, 60)] + [
+        (60, boiler + " extra tail words"),
+        (61, other),
+    ]
+    batches = [b0, b1]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    order, batch_of = [], {}
+    for bi, rows in enumerate(batches):
+        p = str(src / f"b{bi}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1700000000 + bi * 100,) * 2)
+        for r in rows:
+            batch_of[r[0]] = bi
+        order.extend(sorted(r[0] for r in rows))
+
+    all_docs = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, text string"
+    )
+    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+    nbrs = {}
+    for r in minhash_lsh_candidates(all_docs, **kw).collect():
+        nbrs.setdefault(r.id_a, set()).add(r.id_b)
+        nbrs.setdefault(r.id_b, set()).add(r.id_a)
+
+    expected, survivors = {}, set()
+    for v in order:
+        hit_i = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] < batch_of[v]
+        )
+        hit_b = sorted(
+            s for s in survivors & nbrs.get(v, set()) if batch_of[s] == batch_of[v]
+        )
+        if hit_i:
+            expected[v] = (True, hit_i[0])
+        elif hit_b:
+            expected[v] = (True, hit_b[0])
+        else:
+            expected[v] = (False, None)
+            survivors.add(v)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_minhash_dedup(
+            stream, str(tmp_path / "idx"), str(tmp_path / "out"), **kw
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == expected
+    # the flood collapses to one survivor; 51 of 53 docs are dups of id 1
+    assert sum(1 for d, o in got.values() if d and o == 1) >= 48
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "idx"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert idx_ids == survivors
