@@ -1,0 +1,174 @@
+"""Online ingest-gate benchmark: stream_minhash_dedup throughput and —
+the claim that matters for an online gate — per-batch wall time staying
+FLAT as the survivor index grows (no per-batch history rescan; each
+batch pays O(batch + touched buckets), never O(store)).
+
+Usage:  python bench/online_gates.py [n_docs] [n_batches]
+        (defaults 100_000 docs over 10 micro-batches)
+
+Protocol mirrors bench/scaling.py where it matters on this host: the
+two parallelism levels (local[8] / local[32]) run in separate
+subprocesses (a JVM's master is fixed at startup), interleaved over
+rounds, min-merged per level (CPU-steal only ever adds time). Writes
+BENCH/ONLINE_GATES.md and prints one JSON line.
+
+The corpus is synthesized deterministically (seed 37): ~60-word docs
+drawn from a 4k-word vocabulary, 10% planted near-duplicates of earlier
+docs (a few words perturbed) so the gate's kill path is exercised
+end-to-end, duplicates spread uniformly across batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = "/dev/shm/mhealth_gate_bench"
+
+
+def _gen(n_docs: int, n_batches: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(37)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    os.makedirs(DATA, exist_ok=True)
+    texts: list[str] = []
+    per = n_docs // n_batches
+    for bi in range(n_batches):
+        ids, docs = [], []
+        for j in range(per):
+            gid = bi * per + j
+            if texts and rng.rand() < 0.10:
+                src = texts[rng.randint(len(texts))].split()
+                for _ in range(2):  # perturb 2 words: near-dup, not exact
+                    src[rng.randint(len(src))] = vocab[rng.randint(4000)]
+                t = " ".join(src)
+            else:
+                t = " ".join(vocab[rng.randint(0, 4000, 60)])
+            texts.append(t)
+            ids.append(gid)
+            docs.append(t)
+        p = os.path.join(DATA, f"b{bi:03d}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": docs}), p
+        )
+        os.utime(p, (1700000000 + bi * 10,) * 2)
+
+
+_WORKER = r"""
+import json, shutil, sys, time
+cpus, data = sys.argv[1], sys.argv[2]
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.local.dir", "/dev/shm/gate_spark_local")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, %(repo)r)
+from mhealth_spark.streaming import stream_minhash_dedup
+best = None
+for rep in range(2):  # first warms IO cache + JIT
+    for d in ("/dev/shm/gate_idx", "/dev/shm/gate_out", "/dev/shm/gate_ck"):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(data))
+    t0 = time.time()
+    q = (stream_minhash_dedup(stream, "/dev/shm/gate_idx", "/dev/shm/gate_out")
+         .option("checkpointLocation", "/dev/shm/gate_ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(1800)
+    wall = time.time() - t0
+    per_batch = [p["durationMs"]["triggerExecution"] / 1000.0
+                 for p in q.recentProgress if p["numInputRows"] > 0]
+    if best is None or wall < best["wall_s"]:
+        n = spark.read.parquet("/dev/shm/gate_out").count()
+        dups = spark.read.parquet("/dev/shm/gate_out").filter("is_dup").count()
+        best = {"wall_s": round(wall, 2), "docs": n, "dups": dups,
+                "docs_per_s": round(n / wall, 1), "per_batch_s": per_batch}
+print("RESULT " + json.dumps(best))
+"""
+
+
+def _run_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _WORKER % {"repo": REPO}, str(cpus), DATA],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(out.stdout[-2000:] + out.stderr[-2000:])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    _gen(n_docs, n_batches)
+    best: dict[int, dict] = {}
+    for _ in range(2):  # interleave levels to sample the same host noise
+        for cpus in (8, 32):
+            r = _run_level(cpus)
+            if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
+                best[cpus] = r
+    pb8 = best[8]["per_batch_s"]
+    pb32 = best[32]["per_batch_s"]
+    # flatness: last-3-batch mean over first-3-batch mean (index is ~9x
+    # larger by the tail; an O(store) gate would show ~linear growth)
+    flat = round(
+        (sum(pb32[-3:]) / 3) / (sum(pb32[:3]) / 3), 3
+    )
+    summary = {
+        "metric": "online minhash gate throughput",
+        "n_docs": n_docs,
+        "n_batches": n_batches,
+        "local8_docs_per_s": best[8]["docs_per_s"],
+        "local32_docs_per_s": best[32]["docs_per_s"],
+        "eff_8_to_32": round(
+            best[32]["docs_per_s"] / (4 * best[8]["docs_per_s"]), 3
+        ),
+        "tail_over_head_batch_time": flat,
+        "dup_rate": round(best[32]["dups"] / best[32]["docs"], 4),
+    }
+    with open(os.path.join(REPO, "BENCH", "ONLINE_GATES.md"), "w") as fh:
+        fh.write(
+            "# Online ingest-gate benchmark (stream_minhash_dedup)\n\n"
+            f"{n_docs:,} synthetic docs (seed 37, ~60 words, 10% planted "
+            f"near-dups) through the gate in {n_batches} micro-batches "
+            "(availableNow, maxFilesPerTrigger=1), per-batch survivor\n"
+            "index maintained on /dev/shm. Levels in separate JVMs,\n"
+            "interleaved, min-merged (see BENCH/BASELINE.md protocol).\n\n"
+            f"| level | wall s | docs/s | per-batch s |\n|---|---|---|---|\n"
+            f"| local[8] | {best[8]['wall_s']} | {best[8]['docs_per_s']} | "
+            f"{[round(x, 2) for x in pb8]} |\n"
+            f"| local[32] | {best[32]['wall_s']} | {best[32]['docs_per_s']} | "
+            f"{[round(x, 2) for x in pb32]} |\n\n"
+            f"- tail/head per-batch time (local[32], last-3 over first-3): "
+            f"**{flat}** — the survivor index is ~9x larger by the tail; "
+            "a gate that rescanned history would grow ~linearly here. "
+            "Values near 1.0 evidence the O(batch + touched buckets) "
+            "per-batch cost the docstring claims.\n"
+            f"- detected dup rate {summary['dup_rate']} vs 10% planted "
+            "(LSH at 8 hashes / band 2 misses weakly-similar perturbed "
+            "docs by design — candidates, not exact Jaccard).\n"
+            f"- 8→32 scaling efficiency {summary['eff_8_to_32']}: micro-"
+            "batch streaming serializes on the driver between batches "
+            "(trigger scheduling + store listing), so thread scaling is "
+            "bounded by the per-batch fixed floor, not the plan — the "
+            "scale path for a real deployment is bigger batches, not "
+            "more threads per batch.\n"
+        )
+    print(json.dumps(summary, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
