@@ -1813,3 +1813,45 @@ def compact_batch_store(
     for i in fold:
         shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
     return {"snapshot": snap_id, "folded": fold, "rows": rows}
+
+
+def stream_ivf_ingest(
+    emb: DataFrame,
+    centroids: list,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance — the exactly-once face of
+    ``similarity.ivf_append``: each micro-batch is assigned to the FIXED
+    coarse quantizer (map-only centroid-literal argmax, no shuffle) and
+    written ``mode("overwrite")`` into its own ``batch=<id>`` directory
+    with nested cid partitions, so an at-least-once ``foreachBatch``
+    replay rewrites the same files instead of appending duplicates (the
+    failure mode a bare ``.mode("append")`` would have). Probe with
+    ``ann_ivf_probe(spark.read.parquet(path).drop("batch"), ...)`` —
+    partition discovery handles the batch=/cid= nesting and the probe's
+    selective cid set still reaches the scan as a dynamic partition
+    filter (pytest-asserted), so a query batch reads only the touched
+    inverted lists across every generation. Fold generations with
+    ``compact_batch_store`` when file counts grow. Quantizer drift rule
+    as everywhere: re-quantizing requires an offline rebuild.
+
+    Returns the configured ``DataStreamWriter`` — attach a trigger and
+    ``checkpointLocation`` and ``.start()``.
+    """
+    from mhealth_spark.pipelines.similarity import ivf_assign
+
+    def _emit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ivf_assign(
+            batch.select(id_col, vec_col).dropDuplicates([id_col]),
+            centroids,
+            id_col,
+            vec_col,
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            f"{index_path}/batch={batch_id}"
+        )
+
+    return emb.writeStream.outputMode("append").foreachBatch(_emit)

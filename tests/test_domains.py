@@ -1976,3 +1976,93 @@ def test_ivf_append_probe_equals_rebuild(spark, tmp_path):
     np.testing.assert_allclose(
         a["cosine"].to_numpy(), b["cosine"].to_numpy(), rtol=1e-12
     )
+
+
+def test_stream_ivf_ingest_probe_equals_rebuild(spark, tmp_path):
+    """Streaming IVF maintenance: ingesting the corpus as 3 micro-batches
+    must leave a store that probes identically to a one-shot rebuild,
+    dynamic partition pruning must still reach the nested cid level, and
+    a replayed run (fresh checkpoint, same store) must leave the row set
+    unchanged (exactly-once)."""
+    import os
+
+    from mhealth_spark.pipelines.similarity import (
+        ann_ivf_probe,
+        ivf_assign,
+        pick_centroids,
+    )
+    from mhealth_spark.streaming import stream_ivf_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = pick_centroids(emb.filter("vec_id % 3 = 0"), 16)
+
+    src = str(tmp_path / "src")
+    for bi in range(3):
+        emb.filter(f"vec_id % 3 = {bi}").coalesce(1).write.parquet(
+            f"{src}/b{bi}"
+        )
+        os.utime(f"{src}/b{bi}", (1700000000 + bi * 100,) * 2)
+
+    idx = str(tmp_path / "idx")
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream_ivf_ingest(stream, cents, idx)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run("a")
+    rows_a = sorted(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(idx).select("vec_id", "cid").collect()
+    )
+    run("b")  # replay with fresh checkpoint: same batch ids, same files
+    rows_b = sorted(
+        (r["vec_id"], r["cid"])
+        for r in spark.read.parquet(idx).select("vec_id", "cid").collect()
+    )
+    assert rows_a == rows_b and len(rows_a) == emb.count()
+
+    full_path = str(tmp_path / "full")
+    ivf_assign(emb, cents).write.partitionBy("cid").parquet(full_path)
+    key = ["query_id", "neighbor_id", "rank"]
+    a = (
+        ann_ivf_probe(
+            spark.read.parquet(idx).drop("batch"), cents, queries, k=5, n_probe=4
+        )
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        ann_ivf_probe(
+            spark.read.parquet(full_path), cents, queries, k=5, n_probe=4
+        )
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(
+        a["cosine"].to_numpy(), b["cosine"].to_numpy(), rtol=1e-12
+    )
+    plan = (
+        ann_ivf_probe(
+            spark.read.parquet(idx).drop("batch"), cents, queries, k=5, n_probe=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruningexpression(cid" in plan, plan
