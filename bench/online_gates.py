@@ -34,8 +34,12 @@ def _gen(n_docs: int, n_batches: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import shutil
+
     rng = np.random.RandomState(37)
     vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    shutil.rmtree(DATA, ignore_errors=True)  # stale files from a prior
+    # run with more batches would silently join the measured corpus
     os.makedirs(DATA, exist_ok=True)
     texts: list[str] = []
     per = n_docs // n_batches
@@ -83,7 +87,8 @@ for rep in range(2):  # first warms IO cache + JIT
     q = (stream_minhash_dedup(stream, "/dev/shm/gate_idx", "/dev/shm/gate_out")
          .option("checkpointLocation", "/dev/shm/gate_ck")
          .trigger(availableNow=True).start())
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        raise RuntimeError("gate stream did not finish within 30 min")
     wall = time.time() - t0
     per_batch = [p["durationMs"]["triggerExecution"] / 1000.0
                  for p in q.recentProgress if p["numInputRows"] > 0]
@@ -154,9 +159,13 @@ def main() -> None:
             f"{[round(x, 2) for x in pb32]} |\n\n"
             f"- tail/head per-batch time (local[32], last-3 over first-3): "
             f"**{flat}** — the survivor index is ~9x larger by the tail; "
-            "a gate that rescanned history would grow ~linearly here. "
-            "Values near 1.0 evidence the O(batch + touched buckets) "
-            "per-batch cost the docstring claims.\n"
+            "a gate that rescanned history per batch would grow toward "
+            "~linear here. At this scale the curve is also warmup-"
+            "amortized, so the flat curve is necessary-not-sufficient "
+            "evidence; the structural guarantee is the pbucket-"
+            "partitioned index + dynamic partition filter on the probe "
+            "join, plan-asserted in "
+            "tests/test_streaming.py::test_minhash_index_probe_partition_pruning.\n"
             f"- detected dup rate {summary['dup_rate']} vs 10% planted "
             "(LSH at 8 hashes / band 2 misses weakly-similar perturbed "
             "docs by design — candidates, not exact Jaccard).\n"

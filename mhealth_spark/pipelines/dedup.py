@@ -608,7 +608,16 @@ def embedding_neardup_pairs(
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cosine",
+            # null-safe: zero-norm vectors have undefined cosine — WHEN
+            # keeps ANSI mode from throwing DIVIDE_BY_ZERO; NULL never
+            # passes the threshold filter
+            F.when(
+                (F.col("na") * F.col("nb")) != 0,
+                dot / (F.col("na") * F.col("nb")),
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -947,8 +956,19 @@ def minhash_lsh_candidates_incremental(
         )
         .distinct()
     )
+    within = bucket_pairs(nb, id_col)
+    return cross.union(within).distinct()
+
+
+def bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Within-bucket candidate pairs (id_a < id_b) from an (id, band,
+    bucket) frame via the groupBy-bucket expansion — one collected-id
+    array per bucket, pairs expanded by shifted-slice transform (no
+    self-join). Shared by the batch incremental candidates and the
+    online ingest gate so the subtle i+2 slice bound lives in ONE
+    place."""
     grouped = (
-        nb.groupBy("band", "bucket")
+        buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -962,11 +982,11 @@ def minhash_lsh_candidates_incremental(
             ),
         )
     )
-    within = (
+    return (
         grouped.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
     )
-    return cross.union(within).distinct()
 
 
 def semantic_pairs(
@@ -1058,7 +1078,16 @@ def _semantic_pairs_from(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cosine",
+            # null-safe: zero-norm vectors have undefined cosine — WHEN
+            # keeps ANSI mode from throwing DIVIDE_BY_ZERO; NULL never
+            # passes the threshold filter
+            F.when(
+                (F.col("na") * F.col("nb")) != 0,
+                dot / (F.col("na") * F.col("nb")),
+            ),
+        )
         .filter(F.round("cosine", 9) >= threshold)
         .select("id_a", "id_b", "cid", "cosine")
     )

@@ -18,7 +18,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (sequential fold —
-    deterministic accumulation order, parity with the DuckDB oracle)."""
+    deterministic accumulation order, parity with the DuckDB oracle).
+    NULL for a zero-norm operand (cosine undefined): the WHEN branch
+    keeps Spark's ANSI mode from throwing DIVIDE_BY_ZERO — without it a
+    single failed/padded all-zero embedding kills the whole job (and
+    poison-pills a streaming gate, which replays the same batch
+    forever); NULL propagates through rounds/filters as no-match."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -28,7 +33,8 @@ def cosine_expr(a: Column, b: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom != 0, dot / denom)
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

@@ -205,6 +205,14 @@ def quality_filter(
     STREAMING pipeline needs, where the decision cannot be joined back
     onto the stream (no stream self-joins); still map-only."""
     th = {**DEFAULT_QUALITY_THRESHOLDS, **overrides}
+    if keep_cols:
+        clash = {"keep", "reasons"} & set(df.columns)
+        if clash:
+            # silent duplicate column names would poison every downstream
+            # select/write with AMBIGUOUS_REFERENCE — fail at the source
+            raise ValueError(
+                f"keep_cols=True would shadow existing column(s) {sorted(clash)}"
+            )
     base = df if keep_cols else df.select(F.col(id_col), F.col(text_col))
     q = quality_features(base, text_col)
     for n in (2, 5):

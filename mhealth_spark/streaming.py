@@ -982,17 +982,9 @@ def _training_set_emit_fn(
             F.col("ts") + F.expr(f"INTERVAL {int(horizon_hours)} HOUR")
             <= F.col("_frontier")
         )
-        from pyspark.errors import AnalysisException
-
-        try:
-            prev = (
-                spark.read.parquet(output_path)
-                .filter(F.col("batch") != batch_id)
-                .groupBy(entity_col)
-                .agg(F.max("ts").alias("_emitted"))
-            )
-        except AnalysisException:  # first batch: no output store yet
-            prev = None
+        prev = _read_store_excluding(spark, output_path, batch_id)
+        if prev is not None:
+            prev = prev.groupBy(entity_col).agg(F.max("ts").alias("_emitted"))
         if prev is not None:
             rows = rows.join(F.broadcast(prev), entity_col, "left").filter(
                 F.col("_emitted").isNull() | (F.col("ts") > F.col("_emitted"))
@@ -1364,7 +1356,45 @@ def _read_store_excluding(spark, path: str, batch_id: int) -> DataFrame | None:
         return None
 
 
-def _greedy_mis_kill(spark, in_pairs: DataFrame, id_col: str, id_t: str) -> DataFrame:
+_PBUCKETS = 256
+
+
+def _with_pbucket(df: DataFrame) -> DataFrame:
+    """Derive the survivor-index partition key: a 256-way non-negative
+    hash of the LSH bucket value. Banding alone cannot prune (a batch
+    touches every band), but a batch's (band, bucket) set is highly
+    selective over pbucket — the column that makes the probe's dynamic
+    partition filter effective."""
+    return df.withColumn(
+        "pbucket",
+        F.pmod(F.xxhash64(F.col("bucket")), F.lit(_PBUCKETS)).cast("int"),
+    )
+
+
+def _probe_minhash_index(
+    store: DataFrame, nb: DataFrame, id_col: str, broadcast_new: bool = True
+) -> DataFrame:
+    """Index-kill probe shared by the online gate and its tests: join
+    the batch's band buckets against the persisted survivor index on
+    (pbucket, band, bucket) and return each killed id with its smallest
+    colliding survivor as (id, dup_of). With the store partitioned by
+    pbucket, the broadcast probe side reaches the index scan as a
+    dynamic partition filter — per-batch index IO is bounded by touched
+    buckets, not store size."""
+    probe = _with_pbucket(nb).withColumnRenamed(id_col, "_new")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    return (
+        store.select(F.col(id_col).alias("_old"), "pbucket", "band", "bucket")
+        .join(probe, ["pbucket", "band", "bucket"])
+        .groupBy(F.col("_new").alias(id_col))
+        .agg(F.min("_old").alias("dup_of"))
+    )
+
+
+def _greedy_mis_kill(
+    spark, in_pairs: DataFrame, id_col: str, id_t: str, max_iter: int = 50
+) -> DataFrame:
     """In-batch duplicate resolution shared by the online dedup gates:
     greedy maximal-independent-set of the batch collision graph in
     ascending-id (arrival) order — a doc is killed by its smallest KEPT
@@ -1376,7 +1406,7 @@ def _greedy_mis_kill(spark, in_pairs: DataFrame, id_col: str, id_t: str) -> Data
     schema = f"`{id_col}` {id_t}, dup_of {id_t}"
     if in_pairs.isEmpty():
         return spark.createDataFrame([], schema)
-    comp = neardup_components(in_pairs)
+    comp = neardup_components(in_pairs, max_iter=max_iter)
     edges = in_pairs.join(
         comp.withColumnRenamed("doc_id", "id_a"), "id_a"
     ).select("cluster_id", "id_a", "id_b")
@@ -1411,6 +1441,7 @@ def stream_minhash_dedup(
     shingle_n: int = 5,
     hash_fn: str = "xxh",
     broadcast_new: bool = True,
+    components_max_iter: int = 50,
 ):
     """Online near-duplicate ingest gate: the streaming face of
     ``dedup.minhash_lsh_candidates_incremental`` closed into a KEEP/DROP
@@ -1433,14 +1464,20 @@ def stream_minhash_dedup(
     so an exact-Jaccard verify tier would need survivor text retained
     downstream — run ``jaccard_verify_pairs`` there if needed.
 
-    Scale shape: the probe broadcasts the BATCH's band buckets (bounded
-    by the micro-batch; ``broadcast_new=False`` falls back to a shuffled
-    (band, bucket) equi-join for jumbo backfill batches) so the index is
-    scanned once per batch and never shuffled — at warehouse scale write
-    ``index_path`` partitioned by band so the probe prunes to touched
-    partitions. In-batch resolution (connected components + per-
-    component greedy) is bounded by the batch's own collision graph,
-    never the corpus. EXACT duplicates pre-collapse before the LSH graph
+    Scale shape: the survivor index persists partitioned by ``pbucket``
+    (a 256-way hash of the LSH bucket key) and the probe joins on
+    (pbucket, band, bucket) with the BATCH side broadcast
+    (``broadcast_new=False`` falls back to a shuffled equi-join for
+    jumbo backfill batches) — the batch's selective pbucket set reaches
+    the index scan as a dynamic partition filter (plan-asserted in
+    pytest), so a micro-batch reads only the touched fraction of the
+    index, not the whole store; the index is never shuffled. In-batch
+    resolution (connected components + per-component greedy) is bounded
+    by the batch's own collision graph, never the corpus —
+    ``components_max_iter`` bounds the label-propagation rounds (one per
+    hop of component diameter; raise it for pathological in-batch drift
+    chains, where ``neardup_components`` raises rather than half-merge).
+    EXACT duplicates pre-collapse before the LSH graph
     (group by text fingerprint, the group minimum represents): a mass-
     duplicate backfill batch — millions of identical boilerplate pages,
     the realistic crawler case — would otherwise make every bucket's
@@ -1460,7 +1497,7 @@ def stream_minhash_dedup(
     Returns the configured ``DataStreamWriter`` — attach a trigger and
     ``checkpointLocation`` and ``.start()``.
     """
-    from mhealth_spark.pipelines.dedup import minhash_index
+    from mhealth_spark.pipelines.dedup import bucket_pairs, minhash_index
 
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1486,47 +1523,21 @@ def stream_minhash_dedup(
 
         killed_idx = None
         if store is not None:
-            probe = F.broadcast(nb) if broadcast_new else nb
-            killed_idx = (
-                store.select(F.col(id_col).alias("_old"), "band", "bucket")
-                .join(
-                    probe.withColumnRenamed(id_col, "_new"),
-                    ["band", "bucket"],
-                )
-                .groupBy(F.col("_new").alias(id_col))
-                .agg(F.min("_old").alias("dup_of"))
-                .localCheckpoint(eager=True)
-            )
+            killed_idx = _probe_minhash_index(
+                store, nb, id_col, broadcast_new
+            ).localCheckpoint(eager=True)
 
         alive_sigs = nb
         if killed_idx is not None:
             alive_sigs = nb.join(killed_idx.select(id_col), id_col, "left_anti")
         # in-batch pairs among index-surviving docs: the same groupBy-
-        # bucket expansion the batch op uses (id_a < id_b)
-        grouped = (
-            alive_sigs.groupBy("band", "bucket")
-            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        n = F.size(F.col("ids"))
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + 2, n),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-        in_pairs = (
-            grouped.select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.id_a"), F.col("p.id_b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        # bucket expansion the batch op uses (id_a < id_b, shared helper)
+        in_pairs = bucket_pairs(alive_sigs, id_col).localCheckpoint(eager=True)
 
         id_t = dict(bdocs.dtypes)[id_col]
-        killed_greedy = _greedy_mis_kill(spark, in_pairs, id_col, id_t)
+        killed_greedy = _greedy_mis_kill(
+            spark, in_pairs, id_col, id_t, components_max_iter
+        )
         killed = killed_greedy
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed_greedy)
@@ -1558,9 +1569,13 @@ def stream_minhash_dedup(
             .localCheckpoint(eager=True)
         )
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
-        nb.join(
-            out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
-        ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+        _with_pbucket(
+            nb.join(
+                out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
+            )
+        ).write.mode("overwrite").partitionBy("pbucket").parquet(
+            f"{index_path}/batch={batch_id}"
+        )
 
     return docs.writeStream.outputMode("append").foreachBatch(_emit)
 
@@ -1574,6 +1589,7 @@ def stream_semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     broadcast_new: bool = True,
+    components_max_iter: int = 50,
 ):
     """Online SemDeDup ingest gate — the embedding analog of
     ``stream_minhash_dedup``: each arriving vector is KEPT or DROPPED by
@@ -1591,15 +1607,21 @@ def stream_semantic_dedup(
     duplicates; re-quantizing requires rebuilding the store offline.
 
     Scale shape: assignment is the map-only centroid-literal argmax
-    (``ivf_assign``) — no shuffle; the probe joins the BATCH's assigned
-    vectors (broadcast when ``broadcast_new``, bounded by the micro-
-    batch) against the store on cid, so at warehouse scale a store
-    written partitioned by cid prunes the scan to touched clusters and
-    is never shuffled. Survivor rows persist (id, cid, v, nrm) — norms
-    are computed once, at ingest. Exactly-once via per-batch overwrite
-    directories, live batch excluded from every store read (shared
-    ``_read_store_excluding`` contract). Cosines compare at 9 dp
-    (``F.round``), matching the batch ``semantic_pairs`` refine.
+    (``ivf_assign``) — no shuffle; the survivor store persists
+    PARTITIONED BY cid and the probe joins the BATCH's assigned vectors
+    (broadcast when ``broadcast_new``, bounded by the micro-batch)
+    against it on cid, so the probe prunes the scan to the batch's
+    touched clusters and the store is never shuffled. Survivor rows
+    persist (id, cid, v, nrm) — norms are computed once, at ingest;
+    zero-norm vectors (failed/padded embeddings) have undefined cosine
+    and are null-guarded so they never match and never throw under ANSI
+    mode (a bare division would poison-pill the stream on replay).
+    Exactly-once via per-batch overwrite directories, live batch
+    excluded from every store read (shared ``_read_store_excluding``
+    contract); compact generations with
+    ``compact_batch_store(..., partition_by=["cid"])``. Cosines compare
+    at 9 dp (``F.round``), matching the batch ``semantic_pairs`` refine.
+    ``components_max_iter`` as in ``stream_minhash_dedup``.
 
     Returns the configured ``DataStreamWriter`` — attach a trigger and
     ``checkpointLocation`` and ``.start()``.
@@ -1661,7 +1683,16 @@ def stream_semantic_dedup(
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        cos_ok = F.round(dot / (F.col("na") * F.col("nb")), 9) >= threshold
+        # null-guarded: a zero-norm vector (failed/padded embedding) has
+        # undefined cosine — the WHEN branch keeps ANSI mode from
+        # throwing DIVIDE_BY_ZERO mid-stream (a poison-pill crash loop
+        # under at-least-once replay); NULL >= threshold is NULL, so
+        # zero-norm rows simply never match
+        denom = F.col("na") * F.col("nb")
+        cos_ok = (
+            F.when(denom != 0, F.round(dot / denom, 9)).otherwise(F.lit(None))
+            >= threshold
+        )
 
         killed_idx = None
         if store is not None:
@@ -1708,7 +1739,9 @@ def stream_semantic_dedup(
             .localCheckpoint(eager=True)
         )
         id_t = dict(assigned.dtypes)[id_col]
-        killed = _greedy_mis_kill(spark, in_pairs, id_col, id_t)
+        killed = _greedy_mis_kill(
+            spark, in_pairs, id_col, id_t, components_max_iter
+        )
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed)
         rep_out = assigned.select(id_col).join(killed, id_col, "left")
@@ -1739,9 +1772,9 @@ def stream_semantic_dedup(
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
         assigned.join(
             out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
-        ).select(id_col, "cid", "v", "nrm").write.mode("overwrite").parquet(
-            f"{store_path}/batch={batch_id}"
-        )
+        ).select(id_col, "cid", "v", "nrm").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{store_path}/batch={batch_id}")
 
     return emb.writeStream.outputMode("append").foreachBatch(_emit)
 
@@ -1751,6 +1784,8 @@ def compact_batch_store(
     path: str,
     dedup_cols: list | None = None,
     exclude_last: bool = True,
+    partition_by: list | None = None,
+    delete_folded: bool = True,
 ) -> dict:
     """Fold the per-micro-batch ``batch=<id>`` directories of an online
     store (dedup gate index, partial table, training-set output) into a
@@ -1771,15 +1806,29 @@ def compact_batch_store(
 
     Safety while the stream RUNS: ``foreachBatch`` is at-least-once with
     only the LAST batch replayable, so ``exclude_last=True`` (default)
-    leaves the highest non-negative id unfolded; pass False only with
-    the stream stopped. A FULL compact also frees batch ids 0.. — a
-    restart with a fresh checkpoint no longer collides with history
-    (negative generations are never assigned by Structured Streaming).
+    leaves the highest non-negative id unfolded — that keeps DECISIONS
+    correct, but a micro-batch whose store read already listed the
+    folded files can still fail transiently when ``delete_folded``
+    removes them mid-join (the query then needs a restart; with
+    ``spark.sql.files.ignoreMissingFiles=true`` it would instead
+    silently lose rows — never enable that on these stores). For a
+    fully online compaction pass ``delete_folded=False``: the snapshot
+    coexists with the folded dirs (duplicate-tolerant reads), and a
+    second call after in-flight batches drain removes them. With the
+    stream STOPPED, ``exclude_last=False, delete_folded=True`` folds
+    everything in one step and also frees batch ids 0.. — a restart
+    with a fresh checkpoint no longer collides with history (negative
+    generations are never assigned by Structured Streaming).
 
     ``dedup_cols`` collapses rows on those keys while folding (e.g.
-    ``[entity, "_hr"]`` for partial stores). Local-FS rename/delete
-    here, matching ``checkpoint.py``; on an object store swap the two
-    ``os`` calls for the FileSystem API — the protocol is identical.
+    ``[entity, "_hr"]`` for partial stores). ``partition_by`` MUST name
+    the store's nested partition columns when it has them (the dedup
+    gate index: ``["pbucket"]``; semantic / IVF stores: ``["cid"]``) —
+    the snapshot then keeps the same layout; omitting it on such a
+    store would mix flat and partitioned directories, which parquet
+    refuses to read. Local-FS rename/delete here, matching
+    ``checkpoint.py``; on an object store swap the two ``os`` calls for
+    the FileSystem API — the protocol is identical.
     Returns {"snapshot": id, "folded": [ids], "rows": n} (no-op dict
     when there is nothing to fold)."""
     import os
@@ -1807,11 +1856,20 @@ def compact_batch_store(
         df = df.dropDuplicates(list(dedup_cols))
     tmp = os.path.join(path, ".compact_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        # preserve the store's nested partition layout (e.g. the dedup
+        # gate's pbucket, the semantic/IVF stores' cid) — a flat snapshot
+        # next to partitioned batch dirs would make the mixed store
+        # unreadable (CONFLICTING_PARTITION_COLUMN_NAMES) and lose the
+        # probe's dynamic partition pruning
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     rows = spark.read.parquet(tmp).count()
     os.rename(tmp, os.path.join(path, f"batch={snap_id}"))
-    for i in fold:
-        shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
+    if delete_folded:
+        for i in fold:
+            shutil.rmtree(os.path.join(path, f"batch={i}"), ignore_errors=True)
     return {"snapshot": snap_id, "folded": fold, "rows": rows}
 
 
@@ -1834,8 +1892,10 @@ def stream_ivf_ingest(
     selective cid set still reaches the scan as a dynamic partition
     filter (pytest-asserted), so a query batch reads only the touched
     inverted lists across every generation. Fold generations with
-    ``compact_batch_store`` when file counts grow. Quantizer drift rule
-    as everywhere: re-quantizing requires an offline rebuild.
+    ``compact_batch_store(..., partition_by=["cid"])`` when file counts
+    grow (partition_by is REQUIRED here — a flat snapshot would break
+    the nested cid layout). Quantizer drift rule as everywhere:
+    re-quantizing requires an offline rebuild.
 
     Returns the configured ``DataStreamWriter`` — attach a trigger and
     ``checkpointLocation`` and ``.start()``.

@@ -1516,7 +1516,9 @@ def test_compact_batch_store_continuation_equivalence(spark, tmp_path):
     assert state("x") == state("y")
 
     idx_y = str(tmp_path / "idx_y")
-    res = compact_batch_store(spark, idx_y, exclude_last=False)
+    res = compact_batch_store(
+        spark, idx_y, exclude_last=False, partition_by=["pbucket"]
+    )
     assert res["snapshot"] == -1 and sorted(res["folded"]) == [0, 1, 2]
     assert sorted(os.listdir(idx_y)) == ["batch=-1"]
     assert state("x")[1] == state("y")[1]  # row set preserved
@@ -1528,10 +1530,14 @@ def test_compact_batch_store_continuation_equivalence(spark, tmp_path):
     assert {d for d in os.listdir(idx_y)} == {"batch=-1", "batch=3"}
 
     # running-stream safety: frontier batch is never folded
-    res2 = compact_batch_store(spark, idx_y, exclude_last=True)
+    res2 = compact_batch_store(
+        spark, idx_y, exclude_last=True, partition_by=["pbucket"]
+    )
     assert res2["folded"] == []
     # full re-compaction folds the prior snapshot into the next generation
-    res3 = compact_batch_store(spark, idx_y, exclude_last=False)
+    res3 = compact_batch_store(
+        spark, idx_y, exclude_last=False, partition_by=["pbucket"]
+    )
     assert res3["snapshot"] == -2 and sorted(res3["folded"]) == [-1, 3]
     assert sorted(os.listdir(idx_y)) == ["batch=-2"]
     assert state("x")[1] == state("y")[1]
@@ -1798,3 +1804,100 @@ def test_stream_minhash_dedup_exact_flood_collapse(spark, tmp_path):
         .collect()
     }
     assert idx_ids == survivors
+
+
+def test_stream_semantic_dedup_zero_norm_vector_no_poison_pill(spark, tmp_path):
+    """A zero-norm embedding (failed/padded vector) must not crash the
+    gate under ANSI mode (DIVIDE_BY_ZERO would poison-pill every replay):
+    the batch completes, the zero vector matches nothing (cosine
+    undefined -> never a duplicate, kept), and normal vectors still
+    dedup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.similarity import pick_centroids
+    from mhealth_spark.streaming import stream_semantic_dedup
+
+    rng = np.random.RandomState(5)
+    v = rng.randn(6, 8)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = {i + 1: [float(x) for x in v[i]] for i in range(6)}
+    rows[7] = [0.0] * 8          # the poison pill
+    rows[8] = rows[1]            # exact dup (should still be caught)
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(rows), pa.int64()),
+                "embedding": [rows[k] for k in sorted(rows)],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    emb = spark.createDataFrame(
+        [(k, rows[k]) for k in sorted(rows) if k != 7],
+        "vec_id long, embedding array<double>",
+    )
+    cents = pick_centroids(emb, 4, salt="zn")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(str(src))
+    )
+    q = (
+        stream_semantic_dedup(
+            stream, cents, str(tmp_path / "st"), str(tmp_path / "out"),
+            threshold=0.95,
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        r["vec_id"]: bool(r["is_dup"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got[7] is False  # undefined cosine: never a duplicate
+    assert got[8] is True and got[1] is False  # normal dedup unaffected
+
+
+def test_minhash_index_probe_partition_pruning(spark, tmp_path):
+    """The gate's survivor index is pbucket-partitioned and the probe
+    join must reach its scan as a dynamic partition filter — per-batch
+    index IO bounded by touched buckets, not store size."""
+    from mhealth_spark.pipelines.dedup import minhash_index
+    from mhealth_spark.source import read_table
+    from mhealth_spark.streaming import _probe_minhash_index, _with_pbucket
+
+    docs = (
+        read_table(spark, "documents", "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    idx = str(tmp_path / "idx")
+    _with_pbucket(minhash_index(docs, shingle_n=3)).write.partitionBy(
+        "pbucket"
+    ).parquet(idx)
+    store = spark.read.parquet(idx)
+    nb = minhash_index(docs.filter("doc_id % 29 = 1"), shingle_n=3)
+    probed = _probe_minhash_index(store, nb, "doc_id")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(pbucket" in plan, plan
+    assert probed.count() > 0  # the probe actually finds collisions
+
+
+def test_quality_filter_keep_cols_name_clash_raises(spark):
+    import pytest as _pt
+
+    from mhealth_spark.pipelines.text import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "some text here", True)], "doc_id long, text string, keep boolean"
+    )
+    with _pt.raises(ValueError, match="keep"):
+        quality_filter(df, keep_cols=True)
+    # the narrow projection is unaffected by pre-existing names
+    assert quality_filter(df).columns == ["doc_id", "keep", "reasons"]
