@@ -162,10 +162,16 @@ def main() -> None:
             "a gate that rescanned history per batch would grow toward "
             "~linear here. At this scale the curve is also warmup-"
             "amortized, so the flat curve is necessary-not-sufficient "
-            "evidence; the structural guarantee is the pbucket-"
-            "partitioned index + dynamic partition filter on the probe "
-            "join, plan-asserted in "
-            "tests/test_streaming.py::test_minhash_index_probe_partition_pruning.\n"
+            "evidence. The warehouse-scale structural guarantee is the "
+            "opt-in `index_partitions=N` layout: pbucket-partitioned "
+            "index + dynamic partition filter on the probe join, plan-"
+            "asserted in tests/test_streaming.py::"
+            "test_minhash_index_probe_partition_pruning. Measured here, "
+            "that layout runs ~45% slower (969 vs 1743 docs/s at "
+            "N=256) because per-batch partition-directory fan-out "
+            "dominates at a 10k-survivor index — which is exactly why "
+            "the layout is a deployment parameter (default flat) and "
+            "why partitioned stores need periodic compact_batch_store.\n"
             f"- detected dup rate {summary['dup_rate']} vs 10% planted "
             "(LSH at 8 hashes / band 2 misses weakly-similar perturbed "
             "docs by design — candidates, not exact Jaccard).\n"

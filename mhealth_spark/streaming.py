@@ -1359,20 +1359,24 @@ def _read_store_excluding(spark, path: str, batch_id: int) -> DataFrame | None:
 _PBUCKETS = 256
 
 
-def _with_pbucket(df: DataFrame) -> DataFrame:
-    """Derive the survivor-index partition key: a 256-way non-negative
+def _with_pbucket(df: DataFrame, n: int = _PBUCKETS) -> DataFrame:
+    """Derive the survivor-index partition key: an n-way non-negative
     hash of the LSH bucket value. Banding alone cannot prune (a batch
     touches every band), but a batch's (band, bucket) set is highly
     selective over pbucket — the column that makes the probe's dynamic
     partition filter effective."""
     return df.withColumn(
         "pbucket",
-        F.pmod(F.xxhash64(F.col("bucket")), F.lit(_PBUCKETS)).cast("int"),
+        F.pmod(F.xxhash64(F.col("bucket")), F.lit(n)).cast("int"),
     )
 
 
 def _probe_minhash_index(
-    store: DataFrame, nb: DataFrame, id_col: str, broadcast_new: bool = True
+    store: DataFrame,
+    nb: DataFrame,
+    id_col: str,
+    broadcast_new: bool = True,
+    n_partitions: int = _PBUCKETS,
 ) -> DataFrame:
     """Index-kill probe shared by the online gate and its tests: join
     the batch's band buckets against the persisted survivor index on
@@ -1381,7 +1385,7 @@ def _probe_minhash_index(
     pbucket, the broadcast probe side reaches the index scan as a
     dynamic partition filter — per-batch index IO is bounded by touched
     buckets, not store size."""
-    probe = _with_pbucket(nb).withColumnRenamed(id_col, "_new")
+    probe = _with_pbucket(nb, n_partitions).withColumnRenamed(id_col, "_new")
     if broadcast_new:
         probe = F.broadcast(probe)
     return (
@@ -1442,6 +1446,7 @@ def stream_minhash_dedup(
     hash_fn: str = "xxh",
     broadcast_new: bool = True,
     components_max_iter: int = 50,
+    index_partitions: int | None = None,
 ):
     """Online near-duplicate ingest gate: the streaming face of
     ``dedup.minhash_lsh_candidates_incremental`` closed into a KEEP/DROP
@@ -1464,14 +1469,20 @@ def stream_minhash_dedup(
     so an exact-Jaccard verify tier would need survivor text retained
     downstream — run ``jaccard_verify_pairs`` there if needed.
 
-    Scale shape: the survivor index persists partitioned by ``pbucket``
-    (a 256-way hash of the LSH bucket key) and the probe joins on
-    (pbucket, band, bucket) with the BATCH side broadcast
-    (``broadcast_new=False`` falls back to a shuffled equi-join for
-    jumbo backfill batches) — the batch's selective pbucket set reaches
-    the index scan as a dynamic partition filter (plan-asserted in
-    pytest), so a micro-batch reads only the touched fraction of the
-    index, not the whole store; the index is never shuffled. In-batch
+    Scale shape: the probe joins the index on (pbucket, band, bucket) —
+    pbucket is an n-way hash of the LSH bucket key — with the BATCH side
+    broadcast (``broadcast_new=False`` falls back to a shuffled
+    equi-join for jumbo backfill batches); the index is never shuffled.
+    ``index_partitions`` picks the index layout by deployment scale:
+    None (default) persists it flat — right while the survivor set is
+    small, where per-batch partition-directory overhead dominates
+    (measured: BENCH/ONLINE_GATES.md); an int (e.g. 256) persists it
+    PARTITIONED BY pbucket, and the batch's selective pbucket set then
+    reaches the index scan as a dynamic partition filter (plan-asserted
+    in pytest) — per-batch index IO bounded by touched buckets, not
+    store size, the warehouse-scale posture. Partitioned stores need
+    periodic ``compact_batch_store(..., partition_by=["pbucket"])`` or
+    generation count multiplies the directory fan-out. In-batch
     resolution (connected components + per-component greedy) is bounded
     by the batch's own collision graph, never the corpus —
     ``components_max_iter`` bounds the label-propagation rounds (one per
@@ -1499,6 +1510,10 @@ def stream_minhash_dedup(
     """
     from mhealth_spark.pipelines.dedup import bucket_pairs, minhash_index
 
+    # pbucket derivation modulus must match between store and probe; it
+    # only becomes a physical layout when index_partitions is set
+    n_pb = index_partitions or _PBUCKETS
+
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -1524,7 +1539,7 @@ def stream_minhash_dedup(
         killed_idx = None
         if store is not None:
             killed_idx = _probe_minhash_index(
-                store, nb, id_col, broadcast_new
+                store, nb, id_col, broadcast_new, n_pb
             ).localCheckpoint(eager=True)
 
         alive_sigs = nb
@@ -1569,13 +1584,15 @@ def stream_minhash_dedup(
             .localCheckpoint(eager=True)
         )
         out.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
-        _with_pbucket(
+        surv = _with_pbucket(
             nb.join(
                 out.filter(~F.col("is_dup")).select(id_col), id_col, "left_semi"
-            )
-        ).write.mode("overwrite").partitionBy("pbucket").parquet(
-            f"{index_path}/batch={batch_id}"
-        )
+            ),
+            n_pb,
+        ).write.mode("overwrite")
+        if index_partitions:
+            surv = surv.partitionBy("pbucket")
+        surv.parquet(f"{index_path}/batch={batch_id}")
 
     return docs.writeStream.outputMode("append").foreachBatch(_emit)
 

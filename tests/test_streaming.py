@@ -1480,7 +1480,11 @@ def test_compact_batch_store_continuation_equivalence(spark, tmp_path):
         write_file(bi, rows)
 
     schema = "doc_id long, text string"
-    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+    # partitioned index mode: compaction must preserve the nested layout
+    kw = dict(
+        num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh",
+        index_partitions=8,
+    )
 
     def run(tag):
         stream = (
