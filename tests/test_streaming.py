@@ -1905,3 +1905,32 @@ def test_quality_filter_keep_cols_name_clash_raises(spark):
         quality_filter(df, keep_cols=True)
     # the narrow projection is unaffected by pre-existing names
     assert quality_filter(df).columns == ["doc_id", "keep", "reasons"]
+
+
+def test_compact_batch_store_online_two_phase(spark, tmp_path):
+    """The fully online compaction path: delete_folded=False leaves the
+    folded directories next to the snapshot (duplicate-tolerant reads —
+    no window where a concurrent reader can lose files), and a later
+    call removes them once in-flight batches have drained."""
+    import os
+
+    from mhealth_spark.streaming import compact_batch_store
+
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + i, f"h{i}") for i in range(4)], "doc_id long, h string"
+        ).write.parquet(str(tmp_path / "st" / f"batch={b}"))
+    st = str(tmp_path / "st")
+
+    res = compact_batch_store(spark, st, exclude_last=False, delete_folded=False)
+    assert res["snapshot"] == -1 and sorted(res["folded"]) == [0, 1, 2]
+    # snapshot AND folded dirs coexist: reads see duplicates, lose nothing
+    assert sorted(os.listdir(st)) == ["batch=-1", "batch=0", "batch=1", "batch=2"]
+    assert spark.read.parquet(st).count() == 24  # 12 rows twice
+    assert spark.read.parquet(st).drop("batch").distinct().count() == 12
+
+    # phase 2 (after in-flight batches drain): fold everything for real
+    res2 = compact_batch_store(spark, st, exclude_last=False)
+    assert res2["snapshot"] == -2 and res2["rows"] == 24
+    assert sorted(os.listdir(st)) == ["batch=-2"]
+    assert spark.read.parquet(st).drop("batch").distinct().count() == 12
