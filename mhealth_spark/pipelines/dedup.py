@@ -171,40 +171,30 @@ def minhash_lsh_candidates(
     band_size: int = 2,
     shingle_n: int = 5,
     hash_fn: str = "xxh",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become a candidate pair
     (id_a < id_b). The join key is (band_index, band_hash) — a plain
-    shuffled equi-join; no global cross product."""
+    shuffled equi-join; no global cross product.
+
+    Pair generation goes through ``bucket_pairs`` (groupBy-bucket
+    expansion instead of a self-join: a self-join would compute the
+    signature table TWICE — the testdata repartition is round-robin/
+    nondeterministic, which blocks Catalyst's ReuseExchange — and the
+    signatures are ~all the query's cost. One signature pass, ONE
+    shuffle on (band, bucket)).
+
+    ``max_bucket`` is the hot-bucket skew guard (same cap pattern as
+    ``embedding_neardup_pairs``): LSH buckets are small by construction
+    for genuinely random content, but a NEAR-identical template family
+    (non-exact, so an exact-dup pre-collapse cannot catch it) lands k
+    ids in one bucket → one collect_list row of k ids expanding to
+    k²/2 pairs in a single task no AQE split can break. Buckets above
+    the cap are dropped from candidate generation — bounded recall for
+    a hard cost ceiling; audit the skipped set with ``hot_buckets``."""
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     exploded = band_buckets(sig, num_hashes, band_size, id_col)
-    # pair generation via groupBy(bucket) + in-bucket combination expansion
-    # instead of a self-join: a self-join would compute the signature table
-    # TWICE (the testdata repartition is round-robin/nondeterministic, which
-    # blocks Catalyst's ReuseExchange), and the signatures are ~all the
-    # query's cost. One signature pass, ONE shuffle on (band, bucket);
-    # per-bucket expansion is the same quadratic the join had — buckets are
-    # small by construction (that is LSH's whole premise), and a degenerate
-    # hot bucket hurts either formulation equally.
-    grouped = (
-        exploded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    n = F.size(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, n),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    return bucket_pairs(exploded, id_col, max_bucket=max_bucket)
 
 
 def ngram_jaccard_pairs(
@@ -376,12 +366,43 @@ def simhash16(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxh",
 ) -> DataFrame:
-    """64-bit SimHash via xxhash64 word hashes (scale path): one xxhash64
-    per word, 64 shift/and bit contributions in one groupBy. Near-dups =
-    signatures within small Hamming distance; see
-    ``simhash_neardup_candidates`` for the sub-quadratic block search."""
+    """64-bit SimHash word hashes: one hash per word, 64 shift/and bit
+    contributions in one groupBy. Near-dups = signatures within small
+    Hamming distance; see ``simhash_neardup_candidates`` for the
+    sub-quadratic block search.
+
+    hash_fn='xxh' (default, the scale path): one cheap JVM xxhash64 per
+    word. hash_fn='md5' is the ORACLE parity tier — the 64-bit word hash
+    is the first 16 hex digits of md5(word) (bit j = bit (3 - j%4) of
+    nibble j//4), byte-identical in DuckDB via the same hex arithmetic,
+    so the FULL 64-bit block/bucket pipeline gets a driver-gradable
+    twin (the xxh tier itself has no DuckDB equivalent)."""
+    if hash_fn == "md5":
+        hexd = "0123456789abcdef"
+
+        def md5_bit_contrib(h, j):
+            # bit j (0 = MSB of the 64-bit value) lives in hex nibble
+            # j//4 at in-nibble position (3 - j%4); set-membership on the
+            # hex char avoids a conv() per bit
+            chars = [c for c in hexd if (int(c, 16) >> (3 - j % 4)) & 1]
+            return F.when(
+                F.substring(h, j // 4 + 1, 1).isin(chars), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return _simhash_from_word_hash(
+            df,
+            id_col,
+            text_col,
+            hash_col_fn=lambda w: F.md5(w),
+            bit_contrib_fn=md5_bit_contrib,
+            n_bits=64,
+            out_col="simhash64",
+        )
     return _simhash_from_word_hash(
         df,
         id_col,
@@ -927,6 +948,7 @@ def minhash_lsh_candidates_incremental(
     shingle_n: int = 5,
     hash_fn: str = "xxh",
     broadcast_new: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs introduced by a new ingest batch: new-vs-indexed
     plus new-vs-new, as (id_a < id_b) — the same pair set the full-batch
@@ -937,16 +959,43 @@ def minhash_lsh_candidates_incremental(
     against the index (broadcast_new=False falls back to a shuffled
     equi-join on (band, bucket) for jumbo backfill batches), so the
     index is scanned once and never shuffled; in-batch pairs reuse the
-    groupBy-bucket expansion. The batch bucket frame feeds both paths —
+    groupBy-bucket expansion (pre-distinct — ONE trailing distinct
+    covers both sources). The batch bucket frame feeds both paths —
     recomputing its signature fold twice costs batch-sized work, which
-    incremental ingest treats as negligible by definition."""
+    incremental ingest treats as negligible by definition.
+
+    ``max_bucket`` mirrors the batch op's hot-bucket guard with the SAME
+    semantics (split parity preserved): a bucket is skipped when its
+    TOTAL population — indexed ids plus batch ids — exceeds the cap.
+    Costs one extra aggregation over the TOUCHED index rows (batch-
+    proportional, only when the cap is set); audit skips by comparing
+    bucket totals, e.g. via ``hot_buckets`` on index ∪ batch buckets."""
     nb = minhash_index(
         new_docs, id_col, text_col, num_hashes, band_size, shingle_n, hash_fn
     )
-    probe = F.broadcast(nb) if broadcast_new else nb
     old = index.select(
         F.col(id_col).alias("_old_id"), "band", "bucket"
     )
+    if max_bucket is not None:
+        nb_keys = nb.select("band", "bucket").distinct()
+        old_counts = (
+            old.join(F.broadcast(nb_keys), ["band", "bucket"])
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n_old"))
+        )
+        new_counts = nb.groupBy("band", "bucket").agg(
+            F.count("*").alias("_n_new")
+        )
+        ok_keys = (
+            new_counts.join(old_counts, ["band", "bucket"], "left")
+            .filter(
+                F.coalesce("_n_old", F.lit(0)) + F.col("_n_new")
+                <= F.lit(max_bucket)
+            )
+            .select("band", "bucket")
+        )
+        nb = nb.join(F.broadcast(ok_keys), ["band", "bucket"], "left_semi")
+    probe = F.broadcast(nb) if broadcast_new else nb
     cross = (
         old.join(probe.withColumnRenamed(id_col, "_new_id"), ["band", "bucket"])
         .filter(F.col("_old_id") != F.col("_new_id"))
@@ -954,24 +1003,52 @@ def minhash_lsh_candidates_incremental(
             F.least("_old_id", "_new_id").alias("id_a"),
             F.greatest("_old_id", "_new_id").alias("id_b"),
         )
-        .distinct()
     )
-    within = bucket_pairs(nb, id_col)
+    # in-batch buckets already filtered through ok_keys above, so no
+    # second cap here; raw (pre-distinct) pairs + ONE trailing distinct
+    within = bucket_pairs_raw(nb, id_col)
     return cross.union(within).distinct()
 
 
-def bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
-    """Within-bucket candidate pairs (id_a < id_b) from an (id, band,
-    bucket) frame via the groupBy-bucket expansion — one collected-id
-    array per bucket, pairs expanded by shifted-slice transform (no
-    self-join). Shared by the batch incremental candidates and the
-    online ingest gate so the subtle i+2 slice bound lives in ONE
-    place."""
-    grouped = (
+def _bucket_groups(buckets: DataFrame, id_col: str) -> DataFrame:
+    """(band, bucket, sorted id array) for buckets holding >1 id — the
+    shared first stage of within-bucket pair expansion and the hot-bucket
+    audit."""
+    return (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+
+
+def hot_buckets(
+    buckets: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """Audit face of the ``max_bucket`` skew guard: the (band, bucket,
+    n_ids) rows that ``bucket_pairs(max_bucket=...)`` SKIPS. Count/log
+    this next to any capped run so dropped recall is visible, never
+    silent."""
+    return (
+        _bucket_groups(buckets, id_col)
+        .filter(F.size("ids") > max_bucket)
+        .select("band", "bucket", F.size("ids").alias("n_ids"))
+    )
+
+
+def bucket_pairs_raw(
+    buckets: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """``bucket_pairs`` WITHOUT the trailing distinct — for callers that
+    union several pair sources and dedup once at the end (the
+    incremental candidate path), avoiding an extra shuffle over the
+    intermediate pair set."""
+    grouped = _bucket_groups(buckets, id_col)
+    if max_bucket is not None:
+        # hot-bucket skew guard: a degenerate bucket of k ids is ONE
+        # grouped row whose expansion is k²/2 structs in a single task —
+        # un-splittable by AQE. Dropping over-cap buckets trades bounded
+        # recall for a hard ceiling (audit with ``hot_buckets``).
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     n = F.size(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -982,11 +1059,22 @@ def bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    return grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b")
     )
+
+
+def bucket_pairs(
+    buckets: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Within-bucket candidate pairs (id_a < id_b) from an (id, band,
+    bucket) frame via the groupBy-bucket expansion — one collected-id
+    array per bucket, pairs expanded by shifted-slice transform (no
+    self-join). Shared by the batch candidates, the incremental path
+    and the online ingest gate so the subtle i+2 slice bound lives in
+    ONE place. ``max_bucket`` skips over-cap buckets (see
+    ``bucket_pairs_raw`` / ``hot_buckets``)."""
+    return bucket_pairs_raw(buckets, id_col, max_bucket).distinct()
 
 
 def semantic_pairs(

@@ -110,6 +110,60 @@ def decode_features(
     return media.mapInPandas(gen, FEATURES_SCHEMA)
 
 
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("first_byte", T.IntegerType(), True),
+        T.StructField("last_byte", T.IntegerType(), True),
+        T.StructField("decoder", T.StringType(), True),
+    ]
+)
+
+
+def decode_checksum(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """EXACT-integer twin of ``decode_features``: the same mapInPandas
+    decode plumbing (binary payload over Arrow into numpy and back), but
+    emitting integral byte statistics — sum / first / last byte value —
+    instead of float32 features. Integers are engine-portable, so this
+    face is the ORACLE tier proving the payload bytes genuinely traverse
+    the Arrow batch path unmangled (a DuckDB twin recomputes the same
+    sums from the source column); ``decode_features`` stays the
+    feature-vector face (float32 reduction order has no cross-engine
+    twin, pytest-exact instead)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums, firsts, lasts = [], [], []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    sums.append(0)
+                    firsts.append(-1)
+                    lasts.append(-1)
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                sums.append(int(arr.sum(dtype=np.int64)))
+                firsts.append(int(arr[0]))
+                lasts.append(int(arr[-1]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": sums,
+                    "first_byte": firsts,
+                    "last_byte": lasts,
+                    "decoder": ["bytes-checksum-v1"] * len(pdf),
+                }
+            )
+
+    media = media.repartition(
+        max(int(media.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1),
+        "media_id",
+    )
+    return media.mapInPandas(gen, CHECKSUM_SCHEMA)
+
+
 def frame_sample_stub(
     media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
 ) -> DataFrame:

@@ -1447,6 +1447,7 @@ def stream_minhash_dedup(
     broadcast_new: bool = True,
     components_max_iter: int = 50,
     index_partitions: int | None = None,
+    max_bucket: int | None = None,
 ):
     """Online near-duplicate ingest gate: the streaming face of
     ``dedup.minhash_lsh_candidates_incremental`` closed into a KEEP/DROP
@@ -1546,8 +1547,28 @@ def stream_minhash_dedup(
         if killed_idx is not None:
             alive_sigs = nb.join(killed_idx.select(id_col), id_col, "left_anti")
         # in-batch pairs among index-surviving docs: the same groupBy-
-        # bucket expansion the batch op uses (id_a < id_b, shared helper)
-        in_pairs = bucket_pairs(alive_sigs, id_col).localCheckpoint(eager=True)
+        # bucket expansion the batch op uses (id_a < id_b, shared helper).
+        # max_bucket guards the one hot-bucket surface the gate has: a
+        # NEAR-identical template flood (non-exact, so the pre-collapse
+        # misses it) puts k batch reps in one bucket → k²/2 pairs in one
+        # un-splittable task. The PROBE join needs no cap: the survivor
+        # index is collision-free by construction (a doc sharing any
+        # bucket with a survivor is killed, so each (band, bucket) holds
+        # ≤1 survivor — capped runs weaken this to ≤ per-batch skips).
+        # Skipped buckets are counted per batch (visible, never silent).
+        if max_bucket is not None:
+            from mhealth_spark.pipelines.dedup import hot_buckets
+
+            n_hot = hot_buckets(alive_sigs, id_col, max_bucket).count()
+            if n_hot:
+                print(
+                    f"stream_minhash_dedup batch={batch_id}: "
+                    f"skipped {n_hot} over-cap bucket(s) (max_bucket="
+                    f"{max_bucket}) — recall bounded, cost capped"
+                )
+        in_pairs = bucket_pairs(
+            alive_sigs, id_col, max_bucket=max_bucket
+        ).localCheckpoint(eager=True)
 
         id_t = dict(bdocs.dtypes)[id_col]
         killed_greedy = _greedy_mis_kill(

@@ -381,7 +381,8 @@ def test_simhash_hamming_candidates_recall_guarantee(spark):
 
 
 def test_simhash64_hamming_scale_tier_matches_bruteforce(spark):
-    """The 64-bit scale tier (driver query dedup_simhash64_hamming) vs an
+    """The 64-bit xxh scale tier (library default; the registered driver
+    query is the md5 twin dedup_simhash64_hamming_md5) vs an
     exhaustive pandas pair scan: exact pair-set equality (pigeonhole
     guarantees full recall at hamming<=3 with 4 blocks)."""
     from mhealth_spark.pipelines.dedup import (

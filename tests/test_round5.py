@@ -1,0 +1,187 @@
+"""Round-5 additions: the minhash hot-bucket cap (``max_bucket``
+threaded through the band path, VERDICT-r4 item 3) and its audit face.
+
+The embedding sign-LSH path has carried this guard since round 3
+(``embedding_neardup_pairs(max_bucket=...)``); these tests pin the same
+contract on the minhash side: identical pairs when no bucket exceeds the
+cap, planted hot buckets skipped AND counted, split parity preserved on
+the incremental path, gate greedy semantics unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_max_bucket_noop_when_under_cap(spark):
+    """A cap no bucket reaches must not change the candidate set."""
+    from mhealth_spark.pipelines.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = _pairs(minhash_lsh_candidates(docs, hash_fn="md5"))
+    capped = _pairs(
+        minhash_lsh_candidates(docs, hash_fn="md5", max_bucket=10**6)
+    )
+    assert capped == base and base  # non-empty on the synth corpus
+
+
+def test_max_bucket_skips_planted_hot_bucket(spark):
+    """A 12-doc template family (identical text — the batch op has no
+    exact pre-collapse, so all 12 land in every band bucket) must be
+    skipped under cap=5 while unrelated small-bucket pairs survive, and
+    ``hot_buckets`` must report exactly the family's buckets."""
+    from mhealth_spark.pipelines.dedup import (
+        band_buckets,
+        hot_buckets,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam = [(i, tmpl) for i in range(12)]
+    oth = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(fam + oth, "doc_id int, text string")
+
+    uncapped = _pairs(minhash_lsh_candidates(docs))
+    fam_pairs = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert fam_pairs <= uncapped and (100, 101) in uncapped
+
+    capped = _pairs(minhash_lsh_candidates(docs, max_bucket=5))
+    assert capped == {(100, 101)}  # family dropped, small bucket kept
+
+    # audit face: every family band bucket (size 12) reported, size exact
+    bb = band_buckets(minhash_signatures(docs))
+    hot = hot_buckets(bb, "doc_id", 5).collect()
+    assert len(hot) == 4  # 8 hashes / band_size 2 = 4 bands, one each
+    assert all(r.n_ids == 12 for r in hot)
+
+
+def test_incremental_max_bucket_split_parity(spark):
+    """Capped incremental candidates == capped FULL-batch candidates
+    restricted to batch-touching pairs: the cap counts the TOTAL bucket
+    population (indexed + batch), so a bucket straddling the split is
+    judged exactly as the batch op judges it. Both probe layouts agree."""
+    from mhealth_spark.pipelines.dedup import (
+        minhash_index,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam = [(i, tmpl) for i in range(12)]
+    oth = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(fam + oth, "doc_id int, text string")
+    old = docs.filter("doc_id < 6 or doc_id = 100")
+    new = docs.filter("(doc_id >= 6 and doc_id < 100) or doc_id = 101")
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    idx = minhash_index(old)
+
+    for cap, note in [(8, "family over cap"), (20, "family under cap")]:
+        full = _pairs(minhash_lsh_candidates(docs, max_bucket=cap))
+        want = {
+            (a, b) for a, b in full if a in new_ids or b in new_ids
+        }
+        inc = _pairs(
+            minhash_lsh_candidates_incremental(new, idx, max_bucket=cap)
+        )
+        assert inc == want, note
+        inc_shuf = _pairs(
+            minhash_lsh_candidates_incremental(
+                new, idx, max_bucket=cap, broadcast_new=False
+            )
+        )
+        assert inc_shuf == want, note
+    # sanity: the two caps genuinely differ (the family straddles the split)
+    assert _pairs(
+        minhash_lsh_candidates_incremental(new, idx, max_bucket=8)
+    ) != _pairs(minhash_lsh_candidates_incremental(new, idx, max_bucket=20))
+
+
+def _run_gate(spark, tmp_path, src, schema, tag, **kw):
+    from mhealth_spark.streaming import stream_minhash_dedup
+
+    idx = str(tmp_path / f"idx_{tag}")
+    out = str(tmp_path / f"out_{tag}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream_minhash_dedup(stream, idx, out, **kw)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    exc = q.exception()
+    assert exc is None, exc
+    return {
+        r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_stream_minhash_dedup_max_bucket(spark, tmp_path):
+    """The online gate under the cap: (a) a huge cap leaves the greedy
+    decisions identical to the uncapped run; (b) cap=1 skips every
+    multi-id bucket, so every NEAR-dup (non-exact — the pre-collapse
+    must not hide the flood) survives; (c) the skipped buckets are
+    countable via ``hot_buckets`` on the same frame the gate builds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.dedup import (
+        band_buckets,
+        hot_buckets,
+        minhash_signatures,
+    )
+
+    tmpl = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [(i, f"{tmpl} v{i}") for i in range(1, 9)]  # near, NOT exact
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=8, band_size=2, shingle_n=3, hash_fn="xxh")
+
+    # construction sanity: the flood really collides (some bucket > 1)
+    bb = band_buckets(minhash_signatures(docs, shingle_n=3))
+    assert hot_buckets(bb, "doc_id", 1).count() > 0
+
+    base = _run_gate(spark, tmp_path, src, docs.schema, "base", **kw)
+    assert any(d for d, _ in base.values())  # flood caught uncapped
+
+    hi = _run_gate(
+        spark, tmp_path, src, docs.schema, "hi", max_bucket=10**6, **kw
+    )
+    assert hi == base  # greedy semantics unchanged under a slack cap
+
+    lo = _run_gate(
+        spark, tmp_path, src, docs.schema, "lo", max_bucket=1, **kw
+    )
+    assert all(not d for d, _ in lo.values())  # every bucket skipped
