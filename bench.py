@@ -55,14 +55,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # headline first (their timings anchor round-over-round comparison),
+    # then EVERY other registered query — an unbenched registered query
+    # is a blind spot (round-4 review found 13 of them)
     names = [n for n in HEADLINE if n in QUERIES]
-    extra = [
-        n
-        for n in QUERIES
-        if n not in names
-        and n.startswith(("dedup", "ann", "text", "corpus", "tokens", "similarity"))
-    ]
-    names += extra
+    names += [n for n in QUERIES if n not in names]
 
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, float] = {}

@@ -269,7 +269,19 @@ def jaccard_verify_pairs(
     pays. Pairs sharing zero shingles survive to the left join with
     jaccard 0 and are dropped by the threshold. Jaccard is over DISTINCT
     shingles (``text.shingles_col``), matching ``ngram_jaccard_pairs``'s
-    universe when no DF cap is set."""
+    universe when no DF cap is set.
+
+    ``pairs`` is referenced THREE times below (id-set union, intersection
+    join, final left join) and the shingle frame three more — when the
+    candidate frame is itself an LSH composition, naive lazy reuse
+    re-derives the whole signature pipeline per reference (the
+    pre-materialization explain showed 28 parquet scans / 96 exchanges;
+    round-robin test repartitions block Catalyst's ReuseExchange). Both
+    are candidate-bounded (small by the LSH premise), so they are
+    localCheckpoint-materialized ONCE and every downstream reference
+    reads the in-memory blocks — at corpus scale this is the difference
+    between one verify pass and O(10) extra corpus scans."""
+    pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -278,7 +290,7 @@ def jaccard_verify_pairs(
     cand_docs = df.join(ids, id_col, "left_semi")
     sh = cand_docs.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("s")
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")

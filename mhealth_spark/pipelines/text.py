@@ -206,10 +206,25 @@ def quality_filter(
     onto the stream (no stream self-joins); still map-only."""
     th = {**DEFAULT_QUALITY_THRESHOLDS, **overrides}
     if keep_cols:
-        clash = {"keep", "reasons"} & set(df.columns)
+        # the guard must cover EVERY internally-added name, not just the
+        # two output columns: withColumn silently REPLACES a same-named
+        # input column, so a user column called e.g. q_n_words would be
+        # overwritten by the computed feature and returned corrupted via
+        # select(*df.columns) with no error at all
+        internal = {
+            "keep",
+            "reasons",
+            "q_n_chars",
+            "q_n_words",
+            "q_mean_word_len",
+            "q_punct_ratio",
+            "q_alpha_ratio",
+            "q_stopword_ratio",
+            "dup_gram_frac_2",
+            "dup_gram_frac_5",
+        }
+        clash = internal & set(df.columns)
         if clash:
-            # silent duplicate column names would poison every downstream
-            # select/write with AMBIGUOUS_REFERENCE — fail at the source
             raise ValueError(
                 f"keep_cols=True would shadow existing column(s) {sorted(clash)}"
             )

@@ -1358,6 +1358,36 @@ def _read_store_excluding(spark, path: str, batch_id: int) -> DataFrame | None:
 
 _PBUCKETS = 256
 
+_LAYOUT_MARKER = "_store_layout.json"
+
+
+def _assert_store_layout(path: str, layout: dict) -> None:
+    """Pin a store's layout parameters (e.g. the pbucket modulus) in a
+    dot-file beside the data: written on first use, asserted equal on
+    every later run. A probe against a store built under a different
+    modulus joins on incompatible pbucket values and silently matches
+    NOTHING — this turns that silent recall hole into an immediate,
+    actionable error. Local-FS marker matching ``compact_batch_store``'s
+    documented FS contract (the ``batch=`` scheme ignores non-batch
+    files, and a leading underscore hides it from parquet readers)."""
+    import json
+    import os
+
+    marker = os.path.join(path, _LAYOUT_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stored = json.load(f)
+        if stored != layout:
+            raise ValueError(
+                f"store at {path} was built with layout {stored}; this run "
+                f"requests {layout} — probing would silently miss every "
+                "duplicate. Rebuild/compact the store or match its layout."
+            )
+        return
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump(layout, f)
+
 
 def _with_pbucket(df: DataFrame, n: int = _PBUCKETS) -> DataFrame:
     """Derive the survivor-index partition key: an n-way non-negative
@@ -1519,6 +1549,15 @@ def stream_minhash_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # the modulus (and flat-vs-partitioned layout) is part of the
+        # INDEX's identity, not the run's: probing a store built with a
+        # different modulus silently matches nothing (every duplicate
+        # missed, no error). Persist it beside the data on first write
+        # and refuse to run against a mismatched store.
+        _assert_store_layout(
+            index_path,
+            {"pbucket_modulus": n_pb, "partitioned": bool(index_partitions)},
+        )
         bdocs = (
             batch.select(id_col, text_col)
             .dropDuplicates([id_col])
@@ -1689,7 +1728,8 @@ def stream_semantic_dedup(
         # to everything (and cos(v, v) = 1 >= any threshold), so only
         # the fingerprint minimum enters the cluster graph and members
         # inherit its fate — in-cluster pair cost is bounded by DISTINCT
-        # vectors, not copies
+        # vectors, not copies. Exception: zero-norm groups (cos is NULL,
+        # not 1) — their members are emitted as survivors below.
         rep_of = bvecs.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
         assigned = (
             ivf_assign(
@@ -1783,6 +1823,22 @@ def stream_semantic_dedup(
         if killed_idx is not None:
             killed = killed_idx.unionByName(killed)
         rep_out = assigned.select(id_col).join(killed, id_col, "left")
+        # member inheritance EXCEPT for zero-norm fingerprint groups:
+        # cosine between identical zero-norm vectors is NULL (the ANSI
+        # null guard), so the uncollapsed greedy would never kill those
+        # copies — inheriting the representative's fate there would
+        # diverge from the claimed exact parity for precisely the
+        # failed/padded-embedding rows the null guard exists for. Such
+        # members are emitted as survivors (they also never need store
+        # rows: a zero-norm vector can never cosine-kill anything later).
+        znorm = (
+            F.aggregate(
+                F.transform(vec_col, lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            == 0
+        )
         members = (
             bvecs.join(rep_of, "_fp")
             .filter(F.col(id_col) != F.col("_rep"))
@@ -1795,7 +1851,9 @@ def stream_semantic_dedup(
             )
             .select(
                 id_col,
-                F.coalesce("_rep_dup_of", F.col("_rep")).alias("dup_of"),
+                F.when(
+                    ~znorm, F.coalesce("_rep_dup_of", F.col("_rep"))
+                ).alias("dup_of"),
             )
         )
         out = (
@@ -1872,6 +1930,10 @@ def compact_batch_store(
     import os
     import shutil
 
+    if not os.path.isdir(path):
+        # store not created yet (maintenance scheduled before the first
+        # micro-batch landed) — the documented no-op, not an OS error
+        return {"snapshot": None, "folded": [], "rows": 0}
     ids = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(path)

@@ -113,6 +113,31 @@ def test_incremental_max_bucket_split_parity(spark):
     ) != _pairs(minhash_lsh_candidates_incremental(new, idx, max_bucket=20))
 
 
+def test_verified_pass_materializes_shared_subframes(spark):
+    """``jaccard_verify_pairs`` references its candidate frame 3x and the
+    shingle frame 3x; without materialization the LSH composition behind
+    ``dedup_minhash_verified`` re-derived the full signature pipeline per
+    reference (28 parquet scans / 96 exchanges at explain — at corpus
+    scale that is O(10) extra corpus reads). The checkpoint collapse must
+    keep the final plan free of parquet re-scans, and the values must be
+    unchanged (the oracle-parity test covers values; here: plan shape +
+    a non-empty smoke result)."""
+    from mhealth_spark.queries import QUERIES
+
+    out = QUERIES["dedup_minhash_verified"](spark, SF_DIR)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    n_scans = plan.count("Scan parquet")
+    n_exch = plan.count("Exchange")
+    assert n_scans == 0, f"{n_scans} parquet scans in verified plan"
+    # formatted explain lists each operator in the tree AND the detail
+    # section, so the string count is ~2x the operator count: 16 here is
+    # 8 real exchanges (down from 96 pre-materialization)
+    assert n_exch <= 16, f"{n_exch} exchanges in verified plan"
+    assert out.count() > 0
+
+
 def _run_gate(spark, tmp_path, src, schema, tag, **kw):
     from mhealth_spark.streaming import stream_minhash_dedup
 
@@ -136,6 +161,148 @@ def _run_gate(spark, tmp_path, src, schema, tag, **kw):
         r["doc_id"]: (bool(r["is_dup"]), r["dup_of"])
         for r in spark.read.parquet(out).collect()
     }
+
+
+def test_compact_batch_store_missing_path_noop(spark, tmp_path):
+    """Maintenance scheduled before the store's first batch (or a typo'd
+    path) must return the documented no-op dict, not FileNotFoundError."""
+    from mhealth_spark.streaming import compact_batch_store
+
+    got = compact_batch_store(spark, str(tmp_path / "never_written"))
+    assert got == {"snapshot": None, "folded": [], "rows": 0}
+
+
+def test_quality_filter_keep_cols_guards_internal_names(spark):
+    """keep_cols=True must refuse ANY input column an internal feature
+    would silently overwrite (withColumn replaces same-named columns and
+    select(*df.columns) would return the corrupted value), not just
+    keep/reasons."""
+    import pytest as _pt
+
+    from mhealth_spark.pipelines.text import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "some text here", 3)],
+        "doc_id long, text string, q_n_words int",
+    )
+    with _pt.raises(ValueError, match="q_n_words"):
+        quality_filter(df, keep_cols=True)
+    # narrow projection unaffected
+    assert quality_filter(df).columns == ["doc_id", "keep", "reasons"]
+
+
+def test_gate_index_layout_marker_rejects_modulus_drift(spark, tmp_path):
+    """The pbucket modulus is the index's identity: probing a store built
+    under a different modulus joins on incompatible pbucket values and
+    silently misses EVERY duplicate. The layout marker written on first
+    use must turn that into an immediate error on the mismatched run,
+    and same-layout reruns must keep working."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from mhealth_spark.streaming import stream_minhash_dedup
+
+    rows = [(1, "aa bb cc dd ee ff gg hh"), (2, "zz yy xx ww vv uu tt ss")]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "idx")
+
+    def run(tag, **kw):
+        from pyspark.errors import StreamingQueryException
+
+        q = (
+            stream_minhash_dedup(
+                spark.readStream.schema(schema).parquet(str(src)),
+                idx,
+                str(tmp_path / f"out_{tag}"),
+                shingle_n=3,
+                **kw,
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as e:
+            return e
+        return q.exception()
+
+    assert run("a", index_partitions=64) is None   # writes the marker
+    assert run("b", index_partitions=64) is None   # same layout: fine
+    exc = run("c", index_partitions=128)           # drifted modulus
+    assert exc is not None and "layout" in str(exc)
+
+
+def test_stream_semantic_dedup_zero_norm_group_members_survive(spark, tmp_path):
+    """TWO identical zero-norm vectors: the uncollapsed greedy computes
+    cosine NULL between them (never a match), so BOTH survive — the
+    exact-dup pre-collapse must not mark the later copy dup_of the
+    earlier one. Normal exact dups still collapse."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.similarity import pick_centroids
+    from mhealth_spark.streaming import stream_semantic_dedup
+
+    rng = np.random.RandomState(9)
+    v = rng.randn(4, 8)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = {i + 1: [float(x) for x in v[i]] for i in range(4)}
+    rows[7] = [0.0] * 8
+    rows[8] = [0.0] * 8          # identical zero-norm copy
+    rows[9] = rows[1]            # normal exact dup: still collapsed
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(rows), pa.int64()),
+                "embedding": [rows[k] for k in sorted(rows)],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    emb = spark.createDataFrame(
+        [(k, rows[k]) for k in sorted(rows) if k not in (7, 8)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = pick_centroids(emb, 2, salt="zn5")
+    q = (
+        stream_semantic_dedup(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(str(src)),
+            cents,
+            str(tmp_path / "st"),
+            str(tmp_path / "out"),
+            threshold=0.95,
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        r["vec_id"]: (bool(r["is_dup"]), r["dup_of"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got[7] == (False, None)  # zero-norm rep survives
+    assert got[8] == (False, None)  # zero-norm MEMBER survives too
+    assert got[9] == (True, 1)      # normal exact dup still collapsed
 
 
 def test_stream_minhash_dedup_max_bucket(spark, tmp_path):
