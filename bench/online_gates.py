@@ -125,6 +125,18 @@ def main() -> None:
             r = _run_level(cpus)
             if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
                 best[cpus] = r
+    # the "bigger batches" scale claim, measured: the SAME corpus (the
+    # rng call sequence is independent of the file split, so the docs
+    # are byte-identical) in 2 jumbo micro-batches instead of
+    # n_batches — if per-batch driver floor (trigger scheduling + store
+    # listing) is what bounds the 10-batch run, docs/s must rise as it
+    # amortizes
+    _gen(n_docs, 2)
+    big = None
+    for _ in range(2):
+        r = _run_level(32)
+        if big is None or r["wall_s"] < big["wall_s"]:
+            big = r
     pb8 = best[8]["per_batch_s"]
     pb32 = best[32]["per_batch_s"]
     # flatness: last-3-batch mean over first-3-batch mean (index is ~9x
@@ -143,6 +155,10 @@ def main() -> None:
         ),
         "tail_over_head_batch_time": flat,
         "dup_rate": round(best[32]["dups"] / best[32]["docs"], 4),
+        "bigbatch_docs_per_s": big["docs_per_s"],
+        "bigbatch_speedup": round(
+            big["docs_per_s"] / best[32]["docs_per_s"], 2
+        ),
     }
     with open(os.path.join(REPO, "BENCH", "ONLINE_GATES.md"), "w") as fh:
         fh.write(
@@ -156,7 +172,10 @@ def main() -> None:
             f"| local[8] | {best[8]['wall_s']} | {best[8]['docs_per_s']} | "
             f"{[round(x, 2) for x in pb8]} |\n"
             f"| local[32] | {best[32]['wall_s']} | {best[32]['docs_per_s']} | "
-            f"{[round(x, 2) for x in pb32]} |\n\n"
+            f"{[round(x, 2) for x in pb32]} |\n"
+            f"| local[32], 2 jumbo batches | {big['wall_s']} | "
+            f"{big['docs_per_s']} | "
+            f"{[round(x, 2) for x in big['per_batch_s']]} |\n\n"
             f"- tail/head per-batch time (local[32], last-3 over first-3): "
             f"**{flat}** — the survivor index is ~9x larger by the tail; "
             "a gate that rescanned history per batch would grow toward "
@@ -181,6 +200,14 @@ def main() -> None:
             "bounded by the per-batch fixed floor, not the plan — the "
             "scale path for a real deployment is bigger batches, not "
             "more threads per batch.\n"
+            f"- that claim, measured: the SAME {n_docs:,}-doc corpus in "
+            f"2 jumbo micro-batches ({n_batches // 2}x the docs/batch) moves "
+            f"{big['docs_per_s']} docs/s at local[32] — "
+            f"**{summary['bigbatch_speedup']}x** the "
+            f"{n_batches}-batch rate — as the per-batch driver floor "
+            "amortizes over 5x more rows per trigger. Per-batch work "
+            "stays batch-proportional either way; only the fixed floor "
+            "shrinks relative to it.\n"
         )
     print(json.dumps(summary, separators=(",", ":")))
 
