@@ -694,11 +694,23 @@ index grows, the O(batch + touched buckets) claim the gate docstrings
 make, plus the large-batch amortization of the per-batch driver floor.
 
 Full per-query sweep: bench.py times ALL registered queries at sf0.1
-(BENCH/full_latest.json). One known cold-sweep artifact: ann_pq_codes
-measures ~1 s cold because its 8x16x8 constant-folded codebook literal
-pays one-time janino codegen on a fresh session; steady-state force is
-~0.2-0.3 s (measured warm), and the one-time compile is irrelevant at
-scale.
+(BENCH/full_latest.json). Round-5 clock convention: each query is timed
+BUILD + EXECUTION (cold, noop sink) — eager-checkpoint compositions
+(the Jaccard verify pass, Lloyd refinement, connected components,
+semantic dedup, persisted ANN index builds) do most of their work at
+build time, and the pre-r5 exec-only clock silently excluded it (the
+materialized verify pass read "0.4 s" while its signature pass ran
+off-clock). Totals are therefore not comparable to pre-r5 sweeps
+(sf0.1: 98.2 s exec-only vs 209.6 s build+exec at the same head; the
+delta is almost entirely the ANN/dedup index builds now being charged).
+One known cold-sweep artifact: ann_pq_codes measures ~1-1.7 s cold
+because its 8x16x8 constant-folded codebook literal pays one-time
+janino codegen on a fresh session; steady-state force is ~0.2-0.3 s
+(measured warm), and the one-time compile is irrelevant at scale.
+
+sf1 (10x) stress refresh at the r5 head: BENCH/SF1.md — 127/127
+queries complete, 117 within 3x wall on 10x rows, j6 throughput 6.6x
+the sf0.1 rate as fixed costs amortize.
 """
         )
     with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as fh:
