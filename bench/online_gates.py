@@ -205,7 +205,7 @@ def main() -> None:
             f"{big['docs_per_s']} docs/s at local[32] — "
             f"**{summary['bigbatch_speedup']}x** the "
             f"{n_batches}-batch rate — as the per-batch driver floor "
-            "amortizes over 5x more rows per trigger. Per-batch work "
+            f"amortizes over {n_batches // 2}x more rows per trigger. Per-batch work "
             "stays batch-proportional either way; only the fixed floor "
             "shrinks relative to it.\n"
         )

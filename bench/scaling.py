@@ -176,6 +176,11 @@ if want("row_features_prelayout"):
     sorted_bucket_scan(spark, True)
     results["row_features_prelayout_sec"] = timed(
         lambda: row_features(spark.table({ptable!r}), payload_join=False))
+    # denominator is the bucketed table's own count (same rows as the 1x
+    # table, but counted here so a single-tier run — which skips the 1x
+    # read entirely — still computes its rate instead of crashing on
+    # n_rows_1x = None)
+    results["n_rows_payload_bucketed"] = spark.table({ptable!r}).count()
 sorted_bucket_scan(spark, False)
 if want("row_features"):
     results["row_features_sec"] = timed(lambda: row_features(tokens_1x))
@@ -233,7 +238,8 @@ if "row_features_sec" in results:
     results["rows_per_sec_row_features"] = n_rows_1x / results["row_features_sec"]
 if "row_features_prelayout_sec" in results:
     results["rows_per_sec_row_features_prelayout"] = (
-        n_rows_1x / results["row_features_prelayout_sec"])
+        results["n_rows_payload_bucketed"]
+        / results["row_features_prelayout_sec"])
 print("RESULT " + json.dumps(results))
 spark.stop()
 """

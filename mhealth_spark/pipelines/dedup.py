@@ -1061,6 +1061,14 @@ def bucket_pairs_raw(
         # un-splittable by AQE. Dropping over-cap buckets trades bounded
         # recall for a hard ceiling (audit with ``hot_buckets``).
         grouped = grouped.filter(F.size("ids") <= max_bucket)
+    return _pairs_from_groups(grouped)
+
+
+def _pairs_from_groups(grouped: DataFrame) -> DataFrame:
+    """Expand a ``_bucket_groups`` frame into (id_a < id_b) pairs via the
+    shifted-slice transform — split out so callers that also audit the
+    SAME groups frame (the online gate's hot-bucket count) aggregate
+    once, not twice."""
     n = F.size(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(

@@ -77,11 +77,15 @@ def _fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
 
 
 def decode_features(
-    media: DataFrame, strict: bool = False, dim: int = 8, batch_rows: int = 256
+    media: DataFrame, strict: bool = False, dim: int = 8
 ) -> DataFrame:
     """Decode/feature-extract over ``mapInPandas`` — Arrow-batched, one
     output row per media row. ``strict=True`` raises where the real codec
-    belongs (this container has no image/audio libs)."""
+    belongs (this container has no image/audio libs). Batch sizing is
+    governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (the
+    input frame is materialized per Arrow batch, so a per-call row knob
+    here would bound nothing — size the session config for the payload
+    width instead)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,7 +126,7 @@ CHECKSUM_SCHEMA = T.StructType(
 )
 
 
-def decode_checksum(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+def decode_checksum(media: DataFrame) -> DataFrame:
     """EXACT-integer twin of ``decode_features``: the same mapInPandas
     decode plumbing (binary payload over Arrow into numpy and back), but
     emitting integral byte statistics — sum / first / last byte value —

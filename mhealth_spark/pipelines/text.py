@@ -43,8 +43,24 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# column names added by quality_features / repetition grams — the
+# single source of truth for quality_filter's keep_cols clash guard
+# (tests assert these match the columns the functions actually add, so
+# a new feature column cannot silently reopen the overwrite hole)
+QUALITY_FEATURE_COLS = (
+    "q_n_chars",
+    "q_n_words",
+    "q_mean_word_len",
+    "q_punct_ratio",
+    "q_alpha_ratio",
+    "q_stopword_ratio",
+)
+REPETITION_GRAM_COLS = ("dup_gram_frac_2", "dup_gram_frac_5")
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / word-shape quality signals."""
+    """Length / punctuation / stopword / word-shape quality signals
+    (adds exactly ``QUALITY_FEATURE_COLS``)."""
     w = words_col(text_col)
     t = F.col(text_col)
     n_chars = F.length(t)
@@ -210,19 +226,9 @@ def quality_filter(
         # two output columns: withColumn silently REPLACES a same-named
         # input column, so a user column called e.g. q_n_words would be
         # overwritten by the computed feature and returned corrupted via
-        # select(*df.columns) with no error at all
-        internal = {
-            "keep",
-            "reasons",
-            "q_n_chars",
-            "q_n_words",
-            "q_mean_word_len",
-            "q_punct_ratio",
-            "q_alpha_ratio",
-            "q_stopword_ratio",
-            "dup_gram_frac_2",
-            "dup_gram_frac_5",
-        }
+        # select(*df.columns) with no error at all. Derived from the
+        # shared constants, never hand-listed here.
+        internal = {"keep", "reasons", *QUALITY_FEATURE_COLS, *REPETITION_GRAM_COLS}
         clash = internal & set(df.columns)
         if clash:
             raise ValueError(

@@ -849,8 +849,14 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                      list_transform(string_split(text, ''),
-                                     ch -> unicode(ch)) AS cps
+                      -- empty text must yield cps=[] (checksum 0), not
+                      -- [''] -> unicode('') = -1: string_split('', '')
+                      -- returns [''] in DuckDB, which would diverge from
+                      -- the engine's empty-payload checksum of 0
+                      CASE WHEN length(text) = 0 THEN CAST([] AS INTEGER[])
+                           ELSE list_transform(string_split(text, ''),
+                                               ch -> unicode(ch))
+                      END AS cps
                FROM documents)
     SELECT media_id, n_bytes,
            CAST(COALESCE(list_sum(cps), 0) AS BIGINT) AS checksum,

@@ -22,6 +22,9 @@ All are plain DataFrame transformations: apply them to
 
 from __future__ import annotations
 
+import hashlib
+import json
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -1552,11 +1555,22 @@ def stream_minhash_dedup(
         # the modulus (and flat-vs-partitioned layout) is part of the
         # INDEX's identity, not the run's: probing a store built with a
         # different modulus silently matches nothing (every duplicate
-        # missed, no error). Persist it beside the data on first write
-        # and refuse to run against a mismatched store.
+        # missed, no error). So are the SIGNATURE parameters — a store
+        # built under hash_fn='xxh' probed with 'md5' signatures (or a
+        # different num_hashes/band_size/shingle_n) produces disjoint
+        # (band, bucket) values: same silent recall hole, same cure.
+        # Persist all of it beside the data on first write and refuse to
+        # run against a mismatched store.
         _assert_store_layout(
             index_path,
-            {"pbucket_modulus": n_pb, "partitioned": bool(index_partitions)},
+            {
+                "pbucket_modulus": n_pb,
+                "partitioned": bool(index_partitions),
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+                "shingle_n": shingle_n,
+                "hash_fn": hash_fn,
+            },
         )
         bdocs = (
             batch.select(id_col, text_col)
@@ -1596,18 +1610,36 @@ def stream_minhash_dedup(
         # ≤1 survivor — capped runs weaken this to ≤ per-batch skips).
         # Skipped buckets are counted per batch (visible, never silent).
         if max_bucket is not None:
-            from mhealth_spark.pipelines.dedup import hot_buckets
+            from mhealth_spark.pipelines.dedup import (
+                _bucket_groups,
+                _pairs_from_groups,
+            )
 
-            n_hot = hot_buckets(alive_sigs, id_col, max_bucket).count()
+            # ONE (band, bucket) aggregation feeds both the audit count
+            # and the pair expansion — a second full groupBy per trigger
+            # just to maybe print a warning is a whole extra job on the
+            # driver-floor-bound per-batch path
+            groups = _bucket_groups(alive_sigs, id_col).localCheckpoint(
+                eager=True
+            )
+            n_hot = groups.filter(F.size("ids") > max_bucket).count()
             if n_hot:
                 print(
                     f"stream_minhash_dedup batch={batch_id}: "
                     f"skipped {n_hot} over-cap bucket(s) (max_bucket="
                     f"{max_bucket}) — recall bounded, cost capped"
                 )
-        in_pairs = bucket_pairs(
-            alive_sigs, id_col, max_bucket=max_bucket
-        ).localCheckpoint(eager=True)
+            in_pairs = (
+                _pairs_from_groups(
+                    groups.filter(F.size("ids") <= max_bucket)
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            in_pairs = bucket_pairs(alive_sigs, id_col).localCheckpoint(
+                eager=True
+            )
 
         id_t = dict(bdocs.dtypes)[id_col]
         killed_greedy = _greedy_mis_kill(
@@ -1682,6 +1714,9 @@ def stream_semantic_dedup(
     refined) — it must not drift while the stream runs, or cluster-
     bounded comparisons against the existing store would silently miss
     duplicates; re-quantizing requires rebuilding the store offline.
+    ENFORCED: a centroid fingerprint is pinned in the store's layout
+    marker on first use and a mismatched rerun fails fast instead of
+    silently admitting every cross-run duplicate.
 
     Scale shape: assignment is the map-only centroid-literal argmax
     (``ivf_assign``) — no shuffle; the survivor store persists
@@ -1705,10 +1740,29 @@ def stream_semantic_dedup(
     """
     from mhealth_spark.pipelines.similarity import ivf_assign
 
+    # the coarse quantizer is the STORE's identity (see docstring: a
+    # drifted quantizer re-clusters new vectors away from the stored
+    # survivors' cids and the cluster-bounded probe silently misses
+    # every cross-run duplicate). Fingerprint it once; the marker turns
+    # the documented must-not-drift contract into an immediate error.
+    _centroid_fp = hashlib.md5(
+        json.dumps(
+            [[round(float(x), 9) for x in c] for c in centroids]
+        ).encode()
+    ).hexdigest()
+
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        _assert_store_layout(
+            store_path,
+            {
+                "centroid_md5": _centroid_fp,
+                "n_centroids": len(centroids),
+                "dim": len(centroids[0]) if centroids else 0,
+            },
+        )
         bvecs = (
             batch.select(id_col, vec_col)
             .dropDuplicates([id_col])

@@ -191,6 +191,34 @@ def test_quality_filter_keep_cols_guards_internal_names(spark):
     assert quality_filter(df).columns == ["doc_id", "keep", "reasons"]
 
 
+def test_quality_filter_clash_guard_matches_added_columns(spark):
+    """The clash-guard set derives from shared constants; assert (a) the
+    constants equal the columns quality_features ACTUALLY adds on a
+    clean frame — so a new feature column added without updating the
+    constant fails here instead of silently reopening the overwrite
+    hole — and (b) the guard rejects an input column named like EVERY
+    internal name, decision columns included."""
+    import pytest as _pt
+
+    from mhealth_spark.pipelines.text import (
+        QUALITY_FEATURE_COLS,
+        REPETITION_GRAM_COLS,
+        quality_features,
+        quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "plenty of reasonable words to score against the filter")],
+        "doc_id long, text string",
+    )
+    added_features = set(quality_features(df).columns) - set(df.columns)
+    assert added_features == set(QUALITY_FEATURE_COLS)
+    for name in ("keep", "reasons", *QUALITY_FEATURE_COLS, *REPETITION_GRAM_COLS):
+        clashed = df.withColumn(name, df.doc_id.cast("string"))
+        with _pt.raises(ValueError, match=name):
+            quality_filter(clashed, keep_cols=True)
+
+
 def test_gate_index_layout_marker_rejects_modulus_drift(spark, tmp_path):
     """The pbucket modulus is the index's identity: probing a store built
     under a different modulus joins on incompatible pbucket values and
@@ -242,6 +270,13 @@ def test_gate_index_layout_marker_rejects_modulus_drift(spark, tmp_path):
     assert run("a", index_partitions=64) is None   # writes the marker
     assert run("b", index_partitions=64) is None   # same layout: fine
     exc = run("c", index_partitions=128)           # drifted modulus
+    assert exc is not None and "layout" in str(exc)
+    # signature-parameter drift is the same silent recall hole: a store
+    # built under xxh signatures probed with md5 signatures (or another
+    # band geometry) yields disjoint (band, bucket) values
+    exc = run("d", index_partitions=64, hash_fn="md5")
+    assert exc is not None and "layout" in str(exc)
+    exc = run("e", index_partitions=64, band_size=4)
     assert exc is not None and "layout" in str(exc)
 
 
@@ -303,6 +338,72 @@ def test_stream_semantic_dedup_zero_norm_group_members_survive(spark, tmp_path):
     assert got[7] == (False, None)  # zero-norm rep survives
     assert got[8] == (False, None)  # zero-norm MEMBER survives too
     assert got[9] == (True, 1)      # normal exact dup still collapsed
+
+
+def test_stream_semantic_dedup_rejects_centroid_drift(spark, tmp_path):
+    """The coarse quantizer is the survivor store's identity: a drifted
+    quantizer re-clusters arrivals away from stored survivors' cids and
+    the cluster-bounded probe silently misses every cross-run duplicate.
+    The centroid fingerprint pinned in the store's layout marker must
+    turn that into an immediate error; same-centroid reruns keep
+    working."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mhealth_spark.pipelines.similarity import pick_centroids
+    from mhealth_spark.streaming import stream_semantic_dedup
+
+    rng = np.random.RandomState(11)
+    v = rng.randn(6, 8)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = {i + 1: [float(x) for x in v[i]] for i in range(6)}
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(rows), pa.int64()),
+                "embedding": [rows[k] for k in sorted(rows)],
+            }
+        ),
+        str(src / "b0.parquet"),
+    )
+    emb = spark.createDataFrame(
+        [(k, rows[k]) for k in sorted(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "st")
+
+    def run(tag, cents):
+        from pyspark.errors import StreamingQueryException
+
+        q = (
+            stream_semantic_dedup(
+                spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                ).parquet(str(src)),
+                cents,
+                store,
+                str(tmp_path / f"out_{tag}"),
+                threshold=0.95,
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as e:
+            return e
+        return q.exception()
+
+    c1 = pick_centroids(emb, 2, salt="cd5a")
+    assert run("a", c1) is None                    # writes the marker
+    assert run("b", c1) is None                    # same quantizer: fine
+    c2 = pick_centroids(emb, 3, salt="cd5b")       # drifted quantizer
+    exc = run("c", c2)
+    assert exc is not None and "layout" in str(exc)
 
 
 def test_stream_minhash_dedup_max_bucket(spark, tmp_path):
