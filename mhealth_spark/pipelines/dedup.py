@@ -722,33 +722,35 @@ def neardup_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_min"))
+        # one fused pass per round (guide §2.4 — fewer shuffles): the
+        # neighbor-label messages and each node's own label union into a
+        # single groupBy(node) min. Equivalent to the former
+        # join→groupBy→left-join chain (new = min(old, min(neighbor
+        # labels))) with one exchange less, and the node's previous label
+        # rides along (``_old``, non-null only on the self row) so the
+        # convergence check is a cheap filter over the checkpointed
+        # result instead of a second join against the old labels.
+        msgs = edges.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("label").alias("cand")
+            ),
+            "dst",
+        ).select(
+            F.col("src").alias("node"),
+            "cand",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+        )
+        self_rows = labels.select(
+            "node", F.col("label").alias("cand"), F.col("label").alias("_old")
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+            msgs.unionByName(self_rows)
+            .groupBy("node")
+            .agg(F.min("cand").alias("label"), F.max("_old").alias("_old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             return labels.select(F.col("node").alias("doc_id"),
                                  F.col("label").alias("cluster_id"))

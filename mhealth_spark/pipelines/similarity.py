@@ -247,15 +247,61 @@ def pick_centroids(
     return [list(r["v"]) for r in rows]
 
 
-def _centroid_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
-    """Cosine of ``vec`` against each centroid embedded as a LITERAL array
-    — centroids ride inside the codegen'd expression, so assignment is a
-    pure map: no join, no shuffle, the 10^12-row shape (a real deploy
-    broadcasts them; literals are the sandbox-visible equivalent)."""
-    return [
-        cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
-    ]
+def _seq_norm(c: list[float]) -> float:
+    """sqrt(Σ x²) with the SAME left-to-right IEEE-double fold the JVM
+    expression uses — bit-identical to evaluating the old per-centroid
+    ``sqrt(aggregate(transform(c, x*x), 0.0, +))`` literal subtree, so
+    precomputing it on the driver changes nothing downstream."""
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    return s ** 0.5
+
+
+def _vec_norm(vec: Column) -> Column:
+    """Per-row ||vec|| as the sequential fold ``cosine_expr`` uses."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+        )
+    )
+
+
+def _centroid_scores_arr(
+    vec: Column, na: Column, centroids: list[list[float]]
+) -> Column:
+    """All k centroid cosines as ONE array<double> expression.
+
+    Plan-size optimization (guide §1.2 step 2 / §2.3): the per-centroid
+    expression list unrolled k separate ~200-node fold subtrees (each
+    recomputing the row norm and folding a 64-literal centroid), which
+    dominated analysis + whole-stage-codegen time on every ANN/semantic
+    query. Here the centroid matrix and the Python-precomputed centroid
+    norms constant-fold into single array literals and one
+    ``transform(sequence(0, k-1), ...)`` HOF computes every score —
+    ~50× smaller tree, same 10^12-row map-only shape.
+
+    Float semantics are IDENTICAL to the unrolled form: the dot product
+    folds left-to-right over the same operand order, ``na`` is the same
+    sequential fold (computed once per row by the caller), the centroid
+    norm is the same fold run on the driver (``_seq_norm``), and the
+    NULL-on-zero-denominator guard is unchanged — every score is
+    bit-equal to the old expression's.
+    """
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    nbs = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+
+    def score(i: Column) -> Column:
+        cvec = F.element_at(cmat, i + F.lit(1))
+        dot = F.aggregate(
+            F.zip_with(vec, cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        denom = na * F.element_at(nbs, i + F.lit(1))
+        return F.when(denom != 0, dot / denom)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(len(centroids) - 1)), score)
 
 
 def ivf_assign(
@@ -269,18 +315,24 @@ def ivf_assign(
     vector (ties at 9 dp broken toward the lower cid). ``with_score``
     adds ``ccos`` — the winning cosine (rounded 9 dp), the per-item
     centroid affinity SemDeDup's keep rule ranks on."""
-    c = _as_double(corpus, id_col, vec_col)
-    scores = _centroid_scores(F.col("v"), centroids)
+    c = _as_double(corpus, id_col, vec_col).withColumn(
+        # row norm computed ONCE per row and shared by all k scores (the
+        # unrolled form re-folded it per centroid)
+        "_na",
+        _vec_norm(F.col("v")),
+    )
     # ONE array of (score, -cid) structs, argmax via array_max: each score
     # subtree appears exactly once (a chained-when argmax would duplicate
     # every prior score inside each branch — Catalyst does not CSE across
     # branches and the expression grows quadratically). Struct ordering is
-    # lexicographic; -cid makes ties resolve toward the LOWER cid.
-    structs = F.array(
-        *[
-            F.struct(F.round(s, 9).alias("s"), F.lit(-i).alias("negcid"))
-            for i, s in enumerate(scores)
-        ]
+    # lexicographic; -cid makes ties resolve toward the LOWER cid. Scores
+    # come from the single-HOF array form (see _centroid_scores_arr) —
+    # bit-identical values, ~50× smaller expression tree.
+    scores = _centroid_scores_arr(F.col("v"), F.col("_na"), centroids)
+    structs = F.zip_with(
+        scores,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct(F.round(s, 9).alias("s"), (-i).alias("negcid")),
     )
     best = F.array_max(structs)
     cols = [F.col(id_col), F.col("v"), (-best["negcid"]).cast("int").alias("cid")]
@@ -337,14 +389,11 @@ def ann_ivf_probe(
     q = queries.select(
         F.col(query_id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
-    )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (-F.round(s, 9)).alias("negs"), F.lit(i).alias("cid")
-            )
-            for i, s in enumerate(_centroid_scores(F.col("qv"), centroids))
-        ]
+    ).withColumn("_qna", _vec_norm(F.col("qv")))
+    probe_structs = F.zip_with(
+        _centroid_scores_arr(F.col("qv"), F.col("_qna"), centroids),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct((-F.round(s, 9)).alias("negs"), i.alias("cid")),
     )
     probes = q.select(
         F.col(query_id_col),
@@ -685,14 +734,11 @@ def ann_ivfpq_adc(
     q = queries.select(
         F.col(query_id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
-    )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                (-F.round(s, 9)).alias("negs"), F.lit(i).alias("cid")
-            )
-            for i, s in enumerate(_centroid_scores(F.col("qv"), centroids))
-        ]
+    ).withColumn("_qna", _vec_norm(F.col("qv")))
+    probe_structs = F.zip_with(
+        _centroid_scores_arr(F.col("qv"), F.col("_qna"), centroids),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda s, i: F.struct((-F.round(s, 9)).alias("negs"), i.alias("cid")),
     )
     cmat = _centroid_matrix_lit(centroids)
     probes = (
