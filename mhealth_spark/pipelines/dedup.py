@@ -709,17 +709,21 @@ def neardup_components(
     Only documents that appear in ``pairs`` are returned; singleton docs
     are their own implicit cluster (see ``dedup_survivors``).
     """
+    # lazy checkpoints: the first round's convergence count materializes
+    # edges + labels + round-1 labels in ONE action instead of three
+    # (each eager localCheckpoint is a separate driver-blocking job —
+    # pure fixed overhead on every composition that builds components)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # one fused pass per round (guide §2.4 — fewer shuffles): the
@@ -743,11 +747,14 @@ def neardup_components(
         self_rows = labels.select(
             "node", F.col("label").alias("cand"), F.col("label").alias("_old")
         )
+        # lazy checkpoint + count: ONE job per round (the count action
+        # materializes the checkpoint blocks as its side effect; an eager
+        # checkpoint would run a second, separate job for the same scan)
         new_labels = (
             msgs.unionByName(self_rows)
             .groupBy("node")
             .agg(F.min("cand").alias("label"), F.max("_old").alias("_old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")

