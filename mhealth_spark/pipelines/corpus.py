@@ -1244,7 +1244,14 @@ def bigram_logprob_scores(
     )
     c2 = ex.groupBy("pair").agg(F.count("*").alias("c2"))
     ex1 = tokens.select(F.explode(tokens_col).alias("tok"))
-    c1 = ex1.groupBy("tok").agg(F.count("*").alias("c1"))
+    # vocab-bounded table used twice (the scalar count below and the
+    # probability join): lazy-checkpoint so the count materializes it and
+    # the join reuses the blocks instead of re-running the unigram pass
+    c1 = (
+        ex1.groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
     vocab = c1.count()  # one scalar — the smoothing denominator
     # previous-token count keyed by the packed pair's high word; integer
     # DIV, not float division — a*2^32+b approaches 2^63 and double
@@ -1402,22 +1409,24 @@ def ngram_diversity(
                 "distinct_ppm"
             ),
         )
-    totals = ex.groupBy("source").agg(F.count("*").cast("long").alias("n_ngrams"))
-    distinct = (
-        ex.distinct()
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_distinct"))
-    )
-    return (
-        totals.join(distinct, "source")
-        .select(
-            "source",
-            "n_ngrams",
-            "n_distinct",
-            F.expr("CAST((n_distinct * 1000000) DIV n_ngrams AS BIGINT)").alias(
-                "distinct_ppm"
-            ),
-        )
+    # ONE corpus explode pass (guide §2.3 "aggregate before you shuffle"):
+    # count per (source, trigram) with map-side combine — the same bytes
+    # the old ex.distinct() shuffle moved — then fold totals and distinct
+    # out of that table in a second, trigram-table-sized aggregation.
+    # Exactly equivalent to the former totals ⋈ distinct two-scan form
+    # (n_ngrams = Σ per-trigram counts, n_distinct = row count) with one
+    # explode pass and one corpus-wide shuffle instead of two of each.
+    per_gram = ex.groupBy("source", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.count("*").cast("long").alias("n_distinct"),
+    ).select(
+        "source",
+        "n_ngrams",
+        "n_distinct",
+        F.expr("CAST((n_distinct * 1000000) DIV n_ngrams AS BIGINT)").alias(
+            "distinct_ppm"
+        ),
     )
 
 

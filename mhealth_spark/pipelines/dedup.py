@@ -214,14 +214,20 @@ def ngram_jaccard_pairs(
     is fatal at web scale. Jaccard is then computed over the pruned
     shingle universe (sizes come from the same filtered set, so the
     measure stays a true Jaccard on informative shingles)."""
+    # the (id, shingle) posting table feeds the stop-shingle cap, the
+    # per-doc sizes and both sides of the intersection join — five
+    # references that would each re-run the shingle explode (round-robin
+    # input repartitions block ReuseExchange). Materialize the raw and
+    # the pruned postings once each, lazily: this is the inverted-index
+    # artifact every n-gram dedup pipeline persists anyway.
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "s").select(
             id_col, "s"
-        )
+        ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1289,9 +1295,19 @@ def winnow_pairs(
     counts shared distinct hashes per (id_a < id_b) pair."""
     from mhealth_spark.pipelines.text import winnow_fingerprints
 
-    fp = winnow_fingerprints(df, k, w, id_col, text_col).select(
-        id_col, "h"
-    ).distinct()
+    # the selected-fingerprint table is the MOSS sketch — ~2/(w+1) of the
+    # corpus' grams, the artifact winnowing systems persist. It feeds the
+    # doc-frequency cap AND both sides of the self-join; without a cut,
+    # the rolling-min fingerprint pass re-runs once per reference (the
+    # test repartition is round-robin, which blocks ReuseExchange).
+    # Materialize it once, lazily — the dfreq aggregation's first action
+    # caches the blocks.
+    fp = (
+        winnow_fingerprints(df, k, w, id_col, text_col)
+        .select(id_col, "h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_doc_freq is not None:
         dfreq = fp.groupBy("h").agg(F.count("*").alias("_df"))
         fp = fp.join(

@@ -234,17 +234,78 @@ def pick_centroids(
     hx = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
     )
-    rows = (
-        corpus.select(
-            F.col(id_col),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-            hx.alias("_hx"),
-        )
+    # id-only draw first (vector column pruned from the scan), then a
+    # pushed-down filter fetches the n winners' vectors — same two-job
+    # split as pick_pq_codebooks, same rows in the same draw order.
+    id_rows = (
+        corpus.select(F.col(id_col), hx.alias("_hx"))
         .orderBy("_hx", id_col)
         .limit(n_centroids)
         .collect()
     )
+    order = {r[id_col]: i for i, r in enumerate(id_rows)}
+    picked = (
+        corpus.filter(F.col(id_col).isin(list(order)))
+        .select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    rows = sorted(picked, key=lambda r: order[r[id_col]])
     return [list(r["v"]) for r in rows]
+
+
+def _dlit(x: float) -> str:
+    """One DOUBLE literal as SQL text. ``repr`` emits the shortest
+    decimal that round-trips the IEEE double exactly, so parsing it back
+    yields the bit-identical value the old ``F.lit(float(x))`` carried."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _arr_lit(vals: list[float]) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    The old per-element ``F.array(*[F.lit(x) ...])`` form crossed py4j
+    once per element — ~0.5 s of driver time per 1k-element matrix, paid
+    on every query that embeds a centroid table or codebook (measured:
+    expr-parse is ~200× faster). The parsed tree is the same CreateArray
+    over foldable literals, so it constant-folds identically."""
+    return F.expr("array(" + ",".join(_dlit(v) for v in vals) + ")")
+
+
+def _mat_lit(mat: list[list[float]]) -> Column:
+    """array<array<double>> literal as one parsed SQL expression."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(v) for v in row) + ")" for row in mat
+        )
+        + ")"
+    )
+
+
+def _cube_lit(cube: list[list[list[float]]]) -> Column:
+    """array<array<array<double>>> literal as one parsed SQL expression."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dlit(v) for v in row) + ")" for row in m
+            )
+            + ")"
+            for m in cube
+        )
+        + ")"
+    )
 
 
 def _seq_norm(c: list[float]) -> float:
@@ -288,8 +349,8 @@ def _centroid_scores_arr(
     NULL-on-zero-denominator guard is unchanged — every score is
     bit-equal to the old expression's.
     """
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    nbs = F.array(*[F.lit(_seq_norm(c)) for c in centroids])
+    cmat = _mat_lit(centroids)
+    nbs = _arr_lit([_seq_norm(c) for c in centroids])
 
     def score(i: Column) -> Column:
         cvec = F.element_at(cmat, i + F.lit(1))
@@ -483,16 +544,30 @@ def pick_pq_codebooks(
     hx = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))), 1, 8
     )
-    rows = (
-        corpus.select(
-            F.col(id_col),
-            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-            hx.alias("_hx"),
-        )
+    # two cheap jobs instead of one expensive one: the hash draw depends
+    # only on the id, so select the n seed ids first — column pruning
+    # drops the vector column entirely, which matters when ``corpus`` is
+    # a residual frame whose vector is itself an argmax-assignment
+    # expression (the old single TakeOrderedAndProject evaluated that
+    # projection for EVERY row before taking n). Then fetch just those n
+    # rows' vectors with a pushed-down id filter. Same rows, same
+    # per-row math — bit-identical codebooks.
+    id_rows = (
+        corpus.select(F.col(id_col), hx.alias("_hx"))
         .orderBy("_hx", id_col)
         .limit(n_codes)
         .collect()
     )
+    order = {r[id_col]: i for i, r in enumerate(id_rows)}
+    picked = (
+        corpus.filter(F.col(id_col).isin(list(order)))
+        .select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    rows = sorted(picked, key=lambda r: order[r[id_col]])
     vecs = [list(r["v"]) for r in rows]
     d = len(vecs[0])
     ds = d // n_subspaces
@@ -504,18 +579,10 @@ def pick_pq_codebooks(
 def _codebook_lit(codebooks: list[list[list[float]]]) -> Column:
     """The full M×Ks×ds codebook as ONE nested-array literal column —
     CreateArray over foldables constant-folds to a single Literal, so it
-    costs nothing per row (the broadcast-equivalent at sandbox scale)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in sub])
-                    for sub in cb
-                ]
-            )
-            for cb in codebooks
-        ]
-    )
+    costs nothing per row (the broadcast-equivalent at sandbox scale).
+    Built as one parsed SQL expression (see _arr_lit) — the per-element
+    py4j build cost dominated every PQ query's driver time."""
+    return _cube_lit(codebooks)
 
 
 def _l2sq_fold(a: Column, b: Column) -> Column:
@@ -663,10 +730,9 @@ def pq_adc_topk(
 # ---------------------------------------------------------------------------
 def _centroid_matrix_lit(centroids: list[list[float]]) -> Column:
     """All coarse centroids as one constant-folded nested-array literal,
-    indexable by ``element_at(_, cid + 1)``."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    indexable by ``element_at(_, cid + 1)`` — one parsed SQL expression
+    (see _arr_lit for why)."""
+    return _mat_lit(centroids)
 
 
 def ivfpq_residuals(
@@ -915,6 +981,8 @@ def ivf_append(
     ``spark.read.parquet(p).write.option("maxRecordsPerFile", ...)`` to
     a fresh path, or a compaction pass per cid) — file count, not row
     count, is what degrades probe latency at scale."""
-    ivf_assign(new_vectors, centroids, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cid").parquet(index_path)
+    # cluster the batch by cid before the partitioned append (guide §6):
+    # one file per touched partition per batch instead of tasks × cids
+    ivf_assign(new_vectors, centroids, id_col, vec_col).repartition(
+        "cid"
+    ).write.mode("append").partitionBy("cid").parquet(index_path)

@@ -1552,10 +1552,16 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = f"/tmp/mhealth_spark_ivf_index_{tag}"
     # deterministic rebuild per sf_dir; tiny at oracle scale, and at 100 TB
-    # this write happens once at ingest, not per query batch
-    similarity.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(path)
+    # this write happens once at ingest, not per query batch. Cluster by
+    # cid before the partitioned write (guide §6 small-files): without it
+    # every scan task crosses every cid and the inverted file lands as
+    # tasks × n_centroids tiny parquet files (measured 502 for 2000 rows)
+    # — listing + open cost then dominates the probe. At scale, writing
+    # the inverted file clustered by list id is the standard layout; one
+    # huge list can be further split with a salt column if needed.
+    similarity.ivf_assign(emb, cents).repartition("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
     index = spark.read.parquet(path)
     out = similarity.ann_ivf_probe(index, cents, queries, k=5, n_probe=4)
     return out.select(
@@ -3251,10 +3257,11 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = f"/tmp/mhealth_spark_ivfpq_index_{tag}"
     # deterministic rebuild per sf_dir; at 100 TB this write happens once
-    # at ingest, not per query batch
-    similarity.ivfpq_encode(res, cb).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(path)
+    # at ingest, not per query batch. Cluster by cid before the
+    # partitioned write (guide §6 small-files — see ann_ivf_probe)
+    similarity.ivfpq_encode(res, cb).repartition("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
     enc = spark.read.parquet(path)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -132,6 +132,17 @@ def _warm_jvm(spark: SparkSession) -> None:
             "id", "CAST(id AS STRING) AS s"
         ).write.mode("overwrite").parquet(p)
         spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+
+        # spawn + warm the Arrow Python workers (pandas/pyarrow imports,
+        # worker reuse pool) so the first real mapInPandas stage doesn't
+        # pay interpreter startup per core
+        def _identity(batches):
+            for b in batches:
+                yield b
+
+        spark.range(0, 64, 1, 8).mapInPandas(
+            _identity, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:  # pragma: no cover - warmup must never break callers
         pass
 

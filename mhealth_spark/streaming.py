@@ -2059,13 +2059,15 @@ def stream_ivf_ingest(
     def _emit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # cluster by cid before the partitioned write (guide §6): one
+        # file per touched cid per batch instead of tasks × cids
         ivf_assign(
             batch.select(id_col, vec_col).dropDuplicates([id_col]),
             centroids,
             id_col,
             vec_col,
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            f"{index_path}/batch={batch_id}"
-        )
+        ).repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/batch={batch_id}")
 
     return emb.writeStream.outputMode("append").foreachBatch(_emit)
