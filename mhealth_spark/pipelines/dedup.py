@@ -697,34 +697,76 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → one
     ``cluster_id`` (the minimum member id) per involved document.
 
     The missing middle of every fuzzy-dedup pipeline: LSH emits PAIRS,
     retention needs CLUSTERS (A~B, B~C must collapse to one survivor even
-    when A~C was never emitted). Iterative min-label propagation:
-    ``label := min(label, min(neighbor labels))`` per round — pure
-    DataFrame joins/groupBys, converges in O(cluster diameter) rounds
-    (near-dup clusters are shallow; the 10^12-row posture is a handful of
-    rounds over a pair table that is tiny relative to the corpus). Each
-    round is localCheckpoint-truncated so the plan does not grow with
-    iterations. Raises if ``max_iter`` is hit without convergence rather
-    than returning half-merged clusters.
+    when A~C was never emitted).
+
+    Size-adaptive execution (guide §2 — derive the shape from the input,
+    the same reasoning as broadcast-vs-shuffle join selection): the
+    DISTINCT edge list is first materialized and counted. At or below
+    ``max_driver_edges`` (a few MB of (long, long) rows — far under any
+    driver budget) the closure runs as a driver-side union-find over the
+    collected edges: exact, deterministic, zero iterative jobs — on a
+    small dup graph the iterative path's cost is pure per-round job
+    overhead, ~0.4 s × O(diameter) rounds for milliseconds of actual
+    work. Above the threshold it falls back to distributed min-label
+    propagation with pointer jumping (``label := min(label, min(neighbor
+    labels), label[label])`` per round — O(log diameter) rounds, each
+    localCheckpoint-truncated so the plan does not grow). Both paths
+    yield the identical fixpoint: every involved node labeled with its
+    component's minimum id. Raises if ``max_iter`` is hit without
+    convergence rather than returning half-merged clusters.
 
     Only documents that appear in ``pairs`` are returned; singleton docs
     are their own implicit cluster (see ``dedup_survivors``).
     """
-    # lazy checkpoints: the first round's convergence count materializes
-    # edges + labels + round-1 labels in ONE action instead of three
-    # (each eager localCheckpoint is a separate driver-blocking job —
-    # pure fixed overhead on every composition that builds components)
+    # lazy checkpoints: the edge count below materializes the (tiny,
+    # pair-bounded) edge list once; every later reference reads blocks
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()
+    if n_edges <= max_driver_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id root so the final label IS the component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(n, find(n)) for n in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = edges.schema["src"].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", node_t, False),
+                StructField("cluster_id", node_t, False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -753,13 +795,33 @@ def neardup_components(
         self_rows = labels.select(
             "node", F.col("label").alias("cand"), F.col("label").alias("_old")
         )
+        prop = (
+            msgs.unionByName(self_rows)
+            .groupBy("node")
+            .agg(F.min("cand").alias("label"), F.max("_old").alias("_old"))
+        )
+        # pointer jump (label := min(label, label[label])): labels are
+        # always ids of nodes in the same component, so following one
+        # hop of the label chain per round turns O(diameter) rounds into
+        # O(log diameter) — the semantic-dup graph at low thresholds
+        # forms CHAINS, and each round is a fixed-overhead Spark job.
+        # Same monotone fixpoint (the component-min label) as plain
+        # propagation; the convergence check is unchanged.
+        jump = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("_jl")
+        )
         # lazy checkpoint + count: ONE job per round (the count action
         # materializes the checkpoint blocks as its side effect; an eager
         # checkpoint would run a second, separate job for the same scan)
         new_labels = (
-            msgs.unionByName(self_rows)
-            .groupBy("node")
-            .agg(F.min("cand").alias("label"), F.max("_old").alias("_old"))
+            prop.join(jump, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_jl", F.col("label"))
+                ).alias("label"),
+                "_old",
+            )
             .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
