@@ -140,7 +140,8 @@ def _warm_jvm(spark: SparkSession) -> None:
             for b in batches:
                 yield b
 
-        spark.range(0, 64, 1, 8).mapInPandas(
+        par = spark.sparkContext.defaultParallelism
+        spark.range(0, 8 * par, 1, par).mapInPandas(
             _identity, "id long"
         ).write.format("noop").mode("overwrite").save()
     except Exception:  # pragma: no cover - warmup must never break callers
