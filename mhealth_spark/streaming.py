@@ -1380,12 +1380,25 @@ def _assert_store_layout(path: str, layout: dict) -> None:
     if os.path.exists(marker):
         with open(marker) as f:
             stored = json.load(f)
-        if stored != layout:
+        # compare only the keys the stored marker actually pinned: a
+        # marker written before the schema grew (2 keys → 6 in r5) must
+        # not brick a parameter-compatible store — missing keys are
+        # backfilled below, and the hard error stays reserved for
+        # GENUINE mismatches on pinned keys (ADVICE r5).
+        mismatched = {
+            k: (stored[k], layout[k])
+            for k in stored
+            if k in layout and stored[k] != layout[k]
+        }
+        if mismatched:
             raise ValueError(
                 f"store at {path} was built with layout {stored}; this run "
                 f"requests {layout} — probing would silently miss every "
                 "duplicate. Rebuild/compact the store or match its layout."
             )
+        if set(layout) - set(stored):  # backfill newly-pinned keys
+            with open(marker, "w") as f:
+                json.dump({**layout, **stored}, f)
         return
     os.makedirs(path, exist_ok=True)
     with open(marker, "w") as f:

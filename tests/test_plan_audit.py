@@ -57,10 +57,19 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    built = {}
-    for name in QUERY_NAMES:
-        built[name] = _plan(entry_mod.queries()[name](spark, SF_DIR))
-    return built
+    """Lazily-built, memoized plan lookup (ADVICE r5): a ``-k``-selected
+    run only pays for the queries it actually asserts on — the eager
+    all-127 build (eager index materializations included) was a ~3 min
+    fixed cost per selective run."""
+    built: dict[str, str] = {}
+
+    class _Lazy:
+        def __getitem__(self, name: str) -> str:
+            if name not in built:
+                built[name] = _plan(entry_mod.queries()[name](spark, SF_DIR))
+            return built[name]
+
+    return _Lazy()
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
