@@ -841,7 +841,7 @@ def build_corpus(
         upstream chain."""
         if not audit:
             return df
-        df = df.localCheckpoint(eager=True)
+        df = df.localCheckpoint(eager=False)  # the count materializes it
         counts[name] = df.count()
         return df
 

@@ -222,12 +222,12 @@ def ngram_jaccard_pairs(
     # artifact every n-gram dedup pipeline persists anyway.
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, shingle_n)).alias("s")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     if max_doc_freq is not None:
         dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "s").select(
             id_col, "s"
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -287,6 +287,10 @@ def jaccard_verify_pairs(
     localCheckpoint-materialized ONCE and every downstream reference
     reads the in-memory blocks — at corpus scale this is the difference
     between one verify pass and O(10) extra corpus scans."""
+    # EAGER on purpose: pairs feeds three references inside the final
+    # action (id-set union, intersection join, left join) — concurrent
+    # stages each recompute an unmaterialized checkpoint, so lazy here
+    # multiplies the LSH pipeline instead of sharing it (measured 3x)
     pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -771,7 +775,10 @@ def neardup_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        # eager: round 1's single action references labels twice (message
+        # join + self rows) and concurrent stages would each recompute an
+        # unmaterialized checkpoint; edges is already cached by the count
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # one fused pass per round (guide §2.4 — fewer shuffles): the
@@ -1368,7 +1375,7 @@ def winnow_pairs(
         winnow_fingerprints(df, k, w, id_col, text_col)
         .select(id_col, "h")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     if max_doc_freq is not None:
         dfreq = fp.groupBy("h").agg(F.count("*").alias("_df"))
