@@ -1369,8 +1369,8 @@ def winnow_pairs(
     # doc-frequency cap AND both sides of the self-join; without a cut,
     # the rolling-min fingerprint pass re-runs once per reference (the
     # test repartition is round-robin, which blocks ReuseExchange).
-    # Materialize it once, lazily — the dfreq aggregation's first action
-    # caches the blocks.
+    # EAGER: the self-join references it twice inside one action, and
+    # concurrent stages each recompute an unmaterialized checkpoint.
     fp = (
         winnow_fingerprints(df, k, w, id_col, text_col)
         .select(id_col, "h")
