@@ -335,7 +335,7 @@ def _simhash_from_word_hash(
     id_col: str,
     text_col: str,
     hash_col_fn,
-    bit_contrib_fn,
+    bit_contrib_sql,
     n_bits: int,
     out_col: str,
 ) -> DataFrame:
@@ -345,22 +345,33 @@ def _simhash_from_word_hash(
     all bit-contribution sums in ONE groupBy. Map-side partial aggregation
     collapses the exploded rows to ~1 row/doc before the shuffle, so
     shuffle volume is docs × n_bits ints, not words. Docs with no words
-    keep signature 0 (empty contributions = all bits 0), via left join."""
+    keep signature 0 (empty contributions = all bits 0), via left join.
+
+    ``bit_contrib_sql(j)`` returns the per-word ±1 contribution for bit
+    ``j`` as SQL TEXT over the ``_h`` column; the n_bits aggregate
+    expressions and the signature shift-chain are built with ``F.expr``
+    — per-Column py4j construction of 64 agg trees measured ~1 s of
+    driver time per query vs ~0.1 s for parsed text (same reasoning as
+    similarity._arr_lit; the parsed expressions are identical)."""
     ids = df.select(F.col(id_col))
     words = df.select(
         F.col(id_col), F.explode(words_col(text_col)).alias("_w")
     ).select(F.col(id_col), hash_col_fn(F.col("_w")).alias("_h"))
     contribs = words.groupBy(id_col).agg(
         *[
-            F.sum(bit_contrib_fn(F.col("_h"), j)).alias(f"_c{j}")
+            F.expr(f"sum({bit_contrib_sql(j)})").alias(f"_c{j}")
             for j in range(n_bits)
         ]
     )
-    sig = F.lit(0).cast("long")
+    # sig = fold_j (sig << 1) + (1 if _cj > 0 else 0), exactly the old
+    # Column chain, as one parsed expression
+    sig_sql = "CAST(0 AS BIGINT)"
     for j in range(n_bits):
-        bit = F.when(F.col(f"_c{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sig = F.shiftleft(sig, 1) + bit
-    signed = contribs.select(F.col(id_col), sig.alias(out_col))
+        sig_sql = (
+            f"(shiftleft({sig_sql}, 1) + "
+            f"CAST(CASE WHEN _c{j} > 0 THEN 1 ELSE 0 END AS BIGINT))"
+        )
+    signed = contribs.select(F.col(id_col), F.expr(sig_sql).alias(out_col))
     return ids.join(signed, id_col, "left").select(
         id_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col)
     )
@@ -373,15 +384,16 @@ def simhash16(
     (parity tier — byte-identical in SQL). The scale path is
     ``simhash64``. Word hash computed once per word (single md5), not
     once per bit."""
-    high = list("89abcdef")
+    high = ",".join(repr(c) for c in "89abcdef")
     return _simhash_from_word_hash(
         df,
         id_col,
         text_col,
         hash_col_fn=lambda w: F.md5(w),
-        bit_contrib_fn=lambda h, j: F.when(
-            F.substring(h, j + 1, 1).isin(high), F.lit(1)
-        ).otherwise(F.lit(-1)),
+        bit_contrib_sql=lambda j: (
+            f"CASE WHEN substring(_h, {j + 1}, 1) IN ({high}) "
+            "THEN 1 ELSE -1 END"
+        ),
         n_bits=16,
         out_col="simhash16",
     )
@@ -407,21 +419,24 @@ def simhash64(
     if hash_fn == "md5":
         hexd = "0123456789abcdef"
 
-        def md5_bit_contrib(h, j):
+        def md5_bit_contrib_sql(j: int) -> str:
             # bit j (0 = MSB of the 64-bit value) lives in hex nibble
             # j//4 at in-nibble position (3 - j%4); set-membership on the
             # hex char avoids a conv() per bit
-            chars = [c for c in hexd if (int(c, 16) >> (3 - j % 4)) & 1]
-            return F.when(
-                F.substring(h, j // 4 + 1, 1).isin(chars), F.lit(1)
-            ).otherwise(F.lit(-1))
+            chars = ",".join(
+                repr(c) for c in hexd if (int(c, 16) >> (3 - j % 4)) & 1
+            )
+            return (
+                f"CASE WHEN substring(_h, {j // 4 + 1}, 1) IN ({chars}) "
+                "THEN 1 ELSE -1 END"
+            )
 
         return _simhash_from_word_hash(
             df,
             id_col,
             text_col,
             hash_col_fn=lambda w: F.md5(w),
-            bit_contrib_fn=md5_bit_contrib,
+            bit_contrib_sql=md5_bit_contrib_sql,
             n_bits=64,
             out_col="simhash64",
         )
@@ -430,9 +445,10 @@ def simhash64(
         id_col,
         text_col,
         hash_col_fn=lambda w: F.xxhash64(w),
-        bit_contrib_fn=lambda h, j: F.when(
-            F.shiftright(h, 63 - j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1)),
+        bit_contrib_sql=lambda j: (
+            f"CASE WHEN (shiftright(_h, {63 - j}) & 1) = 1 "
+            "THEN 1 ELSE -1 END"
+        ),
         n_bits=64,
         out_col="simhash64",
     )

@@ -873,22 +873,29 @@ def lloyd_refine(
     trade: each iteration is one more corpus read, no corpus shuffle
     ever exceeds k×d keys."""
     k = len(centroids)
+    d = len(centroids[0])
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        # collect the (cid, dim, mu) partials directly — k×d rows, the
+        # same bounded driver transfer — and assemble the vectors in
+        # Python instead of paying a second shuffle + array_sort just to
+        # pack them (identical per-dim averages either way)
         rows = (
             assigned.select("cid", F.posexplode("v").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.avg("x").alias("mu"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mu"))
-                ).getField("mu").alias("c")
-            )
-            # k×d doubles — bounded driver collect to refresh the literal
             .collect()
         )
-        new = {int(r["cid"]): [float(x) for x in r["c"]] for r in rows}
+        acc: dict[int, list[tuple[int, float]]] = {}
+        for r in rows:
+            acc.setdefault(int(r["cid"]), []).append(
+                (int(r["dim"]), float(r["mu"]))
+            )
+        # dim-sorted mus — exactly the old array_sort(collect_list(...))
+        # packing, including the ragged-dim edge (absent dims stay absent)
+        new = {
+            cid: [mu for _, mu in sorted(pairs)] for cid, pairs in acc.items()
+        }
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return centroids
 
