@@ -643,21 +643,48 @@ def i_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 from mhealth_spark import queries_data  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation (round 4). The driver's correctness gate samples
-# the FIRST 50 registry entries each round; rounds 1-3 sampled 58 distinct
-# queries, leaving 71 registered operators with no driver row ever. This
-# round's window: the flagship (identity anchor), the round-3 red row
-# dedup_span_mask (now stringified — needs its green), and 48 never-
-# driver-sampled queries covering every family the verdict flagged
-# (ann_ivf*/pq*, corpus_bpe_*, winnowing, CDC, training-set grid/
-# incremental, token stats). Everything else keeps its relative order
-# after the window; the committed CORRECTNESS_local artifact covers all
-# 129 regardless (tools/check_oracles.py).
+# Driver-window rotation (round 6). The driver's correctness gate samples
+# the FIRST ~50 registry entries each round. After round 5, 26 registered
+# queries had never produced a driver-green row (25 never sampled + the
+# pre-oracle corpus_pack_greedy) — the r5 verdict's top ask. This round's
+# window: the flagship identity anchor, those 26 (all local-green at
+# sf0.001/sf0.01/sf0.1 via tools/check_oracles.py this round), and 23
+# re-pins of the queries whose implementations this optimization round
+# touched (ANN family, semantic dedup, connected components, winnowing,
+# minhash verify, simhash, ngram diversity, bigram LM, the as-of
+# backfill) so the driver re-grades exactly the changed code paths.
+# Rotation only reorders the registry dict — no query or oracle changes.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW = [
     "flagship_hourly_daily_stats",
-    "dedup_span_mask",
-    # ANN: IVF / PQ / IVF-PQ / Lloyd refine — never sampled
+    # --- the 26 never-driver-green queries (verdict r5, What's missing #1)
+    "corpus_chunk_windows",
+    "corpus_contrastive_negatives",
+    "corpus_curriculum",
+    "corpus_interleave",
+    "corpus_length_batches",
+    "corpus_mix_budget",
+    "corpus_pack_arrays",
+    "corpus_pack_efficiency",
+    "corpus_pack_greedy",
+    "corpus_quality_quantiles",
+    "corpus_select_best",
+    "corpus_shard_assign",
+    "corpus_source_overlap",
+    "corpus_source_stats",
+    "corpus_split_drift",
+    "corpus_temperature_sample",
+    "corpus_writer_cap",
+    "dedup_simhash64_hamming_md5",
+    "dedup_simhash64_md5",
+    "multimodal_decode_checksum",
+    "multimodal_frame_sample",
+    "text_bm25_expr_all",
+    "text_boilerplate_ngrams",
+    "text_inverted_postings",
+    "tokens_contrastive_positives",
+    "tokens_writer_streaks",
+    # --- re-pins: queries whose implementations round 6 optimized
     "ann_ivf_oneshot",
     "ann_ivf_probe",
     "ann_pq_codes",
@@ -666,55 +693,21 @@ _DRIVER_WINDOW = [
     "ann_ivfpq_probe",
     "ann_ivfpq_refined",
     "ann_kmeans_refine",
-    # distributed BPE
-    "corpus_bpe_top_pairs",
-    "corpus_bpe_merge_apply",
-    "corpus_bpe_learn",
-    # MOSS/winnowing
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_winnow_components",
-    # content-defined chunking
-    "dedup_cdc_chunks",
-    "dedup_cdc_stats",
-    # training-set assembly
-    "tokens_training_set",
-    "tokens_training_set_multilabel",
-    "tokens_training_set_incremental",
-    "tokens_training_set_grid",
-    "tokens_label_horizon",
-    # token-stream statistics
-    "tokens_expanding_stats",
-    "tokens_decayed_rate",
-    "tokens_trailing_corr",
-    "tokens_purged_folds",
-    "tokens_drift_psi",
-    "tokens_entropy",
-    "tokens_repeat_flag",
-    "tokens_anomaly",
-    "tokens_ngram_diversity",
-    # semantic dedup + similarity
     "dedup_semantic_pairs",
     "dedup_semantic_keep",
-    "similarity_source_centroids",
-    "similarity_outliers",
-    # dedup variants
-    "dedup_exact_tokens",
-    "dedup_exact_prefix",
+    "dedup_components",
+    "dedup_survivors",
     "dedup_cluster_stats",
-    # text pipeline
-    "text_quality_filter",
-    "text_redact_pii",
-    "text_line_dedup",
-    "text_pretokenize",
-    "text_bm25_topk",
-    # corpus build / audits
-    "corpus_dsir_weights",
-    "corpus_split",
-    "corpus_unigram_logprob",
+    "dedup_winnow_pairs",
+    "dedup_winnow_components",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_verified",
+    "dedup_simhash16",
+    "dedup_simhash_hamming",
+    "tokens_ngram_diversity",
     "corpus_bigram_logprob",
-    "corpus_split_leakage",
-    "corpus_contamination_provenance",
+    "j6_backfill_24h",
+    "dedup_span_mask",
 ]
 
 
