@@ -929,6 +929,18 @@ def _tokens(spark: SparkSession, n: int = 3000) -> DataFrame:
     return spark.read.parquet(materialize_synth_tokens(spark, n, seed=42))
 
 
+def _tokens_wide(spark: SparkSession, n: int = 3000) -> DataFrame:
+    """``_tokens`` with the single-row-group fan-out (same rationale as
+    ``_docs``): the cache parquet is one file / one row group, so
+    explode- and HOF-heavy consumers (unigram/bigram LM, trigram
+    diversity, entropy, vocab, exact-dedup hashing) would otherwise run
+    their whole map side on one core. Window/as-of consumers keep the
+    raw ``_tokens`` — they shuffle to their entity key immediately and a
+    round-robin exchange first would be pure overhead. At scale the scan
+    splits naturally and this repartition is a no-op to remove."""
+    return _tokens(spark, n).repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "tokens_row_features",
     f"""
@@ -1229,7 +1241,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.pipelines.corpus import vocab_histogram
 
-    return vocab_histogram(_tokens(spark), top_k=20)
+    return vocab_histogram(_tokens_wide(spark), top_k=20)
 
 
 @register(
@@ -1289,7 +1301,7 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokens_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mhealth_spark.tokens_engine import sequence_features
 
-    out = sequence_features(_tokens(spark))
+    out = sequence_features(_tokens_wide(spark))
     return out.select(
         "doc_id",
         "writer_id",
@@ -2651,7 +2663,7 @@ def tokens_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; the oracle pays an explode+groupBy to agree on the values."""
     from mhealth_spark.tokens_engine import distribution_features
 
-    out = distribution_features(_tokens(spark))
+    out = distribution_features(_tokens_wide(spark))
     return out.select(
         "doc_id",
         "n_tok",
@@ -3357,7 +3369,7 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability table broadcast to the scoring join."""
     from mhealth_spark.pipelines.corpus import bigram_logprob_scores
 
-    out = bigram_logprob_scores(_tokens(spark))
+    out = bigram_logprob_scores(_tokens_wide(spark))
     return out.select(
         "doc_id",
         F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
@@ -4047,7 +4059,7 @@ def tokens_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct via map-side-combined two-stage aggregation."""
     from mhealth_spark.pipelines.corpus import ngram_diversity
 
-    return ngram_diversity(_tokens(spark))
+    return ngram_diversity(_tokens_wide(spark))
 
 
 @register(
