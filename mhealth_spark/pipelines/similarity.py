@@ -155,13 +155,29 @@ def ann_lsh_multiprobe(
         .select(query_id_col, "nid")
         .distinct()
     )
+    # pre-normed rejoin (same shape as dedup._semantic_pairs_from): each
+    # candidate pays ONE dot-product fold instead of re-folding both
+    # operand norms per pair — same values (norms are the identical
+    # sequential fold, denominator multiplied in the same order)
+    q_n = q.withColumn("_qn", _vec_norm(F.col("qv")))
+    c_n = c.select(
+        F.col(id_col).alias("nid"), "v", _vec_norm(F.col("v")).alias("_cn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
-        cand.join(q, query_id_col)
-        .join(c.select(F.col(id_col).alias("nid"), F.col("v")), "nid")
+        cand.join(q_n, query_id_col)
+        .join(c_n, "nid")
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col("nid").alias("neighbor_id"),
-            cosine_expr(F.col("qv"), F.col("v")).alias("cosine"),
+            F.when(
+                (F.col("_qn") * F.col("_cn")) != 0,
+                dot / (F.col("_qn") * F.col("_cn")),
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
