@@ -1493,7 +1493,16 @@ def cdc_dup_stats(
     budget. ``broadcast_dups=False`` switches the hit-marking semi-join
     to a shuffled join — same results, same pattern as
     ``span_dedup_stats``/``span_dedup_mask``."""
-    ch = cdc_chunks(docs, id_col, text_col, window, boundary_hex)
+    # the chunk table feeds three references below (shared-hash agg, the
+    # hit-marking semi-join, per-doc totals) — without a cut the whole
+    # explode + trailing-window + rebuild pipeline re-runs per reference.
+    # EAGER materialization (multi-reference single action, see the
+    # checkpoint-discipline note in neardup_components); the chunk table
+    # is ~words/window rows — the artifact every CDC dedup system
+    # persists anyway.
+    ch = cdc_chunks(docs, id_col, text_col, window, boundary_hex).localCheckpoint(
+        eager=True
+    )
     # chunk hashes seen in >= 2 distinct docs; distinct-per-doc first so
     # a doc repeating its own chunk does not self-mark
     shared = (

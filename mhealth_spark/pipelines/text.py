@@ -537,6 +537,10 @@ def bm25_scores(
         )
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
+        # (doc × query-term)-bounded, referenced by the df collect AND
+        # the scoring pass — materialize once instead of re-running the
+        # tokenize/filter/explode per reference
+        .localCheckpoint(eager=True)
     )
     dft = {
         r["term"]: r["df"]
