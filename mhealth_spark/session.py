@@ -144,6 +144,22 @@ def _warm_jvm(spark: SparkSession) -> None:
         spark.range(0, 8 * par, 1, par).mapInPandas(
             _identity, "id long"
         ).write.format("noop").mode("overwrite").save()
+
+        # text-shaped pass: split → explode → hash → two-phase distinct
+        # aggregate (the codegen family the corpus/text/dedup operators
+        # compile on first use)
+        (
+            spark.range(0, 20_000, 1, 8)
+            .selectExpr(
+                "id",
+                "concat('w', id % 97, ' w', id % 31, ' w', id % 13) AS t",
+            )
+            .select("id", F.explode(F.split("t", " ")).alias("w"))
+            .select("id", F.md5("w").alias("h"))
+            .groupBy("h")
+            .agg(F.count_distinct("id"), F.count("*"))
+            .write.format("noop").mode("overwrite").save()
+        )
     except Exception:  # pragma: no cover - warmup must never break callers
         pass
 
