@@ -154,10 +154,19 @@ def _warm_jvm(spark: SparkSession) -> None:
                 "id",
                 "concat('w', id % 97, ' w', id % 31, ' w', id % 13) AS t",
             )
-            .select("id", F.explode(F.split("t", " ")).alias("w"))
-            .select("id", F.md5("w").alias("h"))
+            .selectExpr(
+                "id",
+                "t",
+                "regexp_replace(t, '[0-9]+', '#') AS r",
+                "size(regexp_extract_all(t, '[0-9]+', 0)) AS nr",
+                "slice(split(t, ' '), 1, 2) AS s2",
+            )
+            .select(
+                "id", "nr", F.explode(F.split("r", " ")).alias("w"),
+            )
+            .select("id", "nr", F.md5("w").alias("h"))
             .groupBy("h")
-            .agg(F.count_distinct("id"), F.count("*"))
+            .agg(F.count_distinct("id"), F.count("*"), F.sum("nr"))
             .write.format("noop").mode("overwrite").save()
         )
     except Exception:  # pragma: no cover - warmup must never break callers
