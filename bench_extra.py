@@ -37,7 +37,9 @@ def main() -> None:
     spark = get_spark("bench_extra", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = args.queries or list(QUERIES)
+    if args.repeats < 1:
+        raise SystemExit("--repeats must be >= 1")
+    names = list(dict.fromkeys(args.queries)) or list(QUERIES)
     bad = [n for n in names if n not in QUERIES]
     if bad:
         raise SystemExit(f"unknown queries: {bad}")

@@ -756,6 +756,15 @@ def neardup_components(
     n_edges = edges.count()
     if n_edges <= max_driver_edges:
         rows = edges.collect()
+        if any(r["src"] is None or r["dst"] is None for r in rows):
+            # NULL ids cannot be ordered by the union-find; the
+            # distributed path reproduces the legacy equi-join
+            # semantics for them (no upstream candidate generator
+            # emits NULLs — defensive only)
+            rows = None
+    else:
+        rows = None
+    if rows is not None:
         parent: dict = {}
 
         def find(x):

@@ -268,7 +268,13 @@ def pick_centroids(
         )
         .collect()
     )
-    rows = sorted(picked, key=lambda r: order[r[id_col]])
+    # one vector per drawn id (ids are primary keys everywhere in this
+    # engine; the guard pins the contract if a duplicate-id corpus ever
+    # reaches a seed pick)
+    by_id = {}
+    for r in picked:
+        by_id.setdefault(r[id_col], r)
+    rows = sorted(by_id.values(), key=lambda r: order[r[id_col]])
     return [list(r["v"]) for r in rows]
 
 
@@ -583,7 +589,11 @@ def pick_pq_codebooks(
         )
         .collect()
     )
-    rows = sorted(picked, key=lambda r: order[r[id_col]])
+    # one vector per drawn id — same contract guard as pick_centroids
+    by_id = {}
+    for r in picked:
+        by_id.setdefault(r[id_col], r)
+    rows = sorted(by_id.values(), key=lambda r: order[r[id_col]])
     vecs = [list(r["v"]) for r in rows]
     d = len(vecs[0])
     ds = d // n_subspaces
@@ -889,7 +899,6 @@ def lloyd_refine(
     trade: each iteration is one more corpus read, no corpus shuffle
     ever exceeds k×d keys."""
     k = len(centroids)
-    d = len(centroids[0])
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         # collect the (cid, dim, mu) partials directly — k×d rows, the

@@ -123,15 +123,19 @@ def _warm_jvm(spark: SparkSession) -> None:
             .agg(F.sum("d"), F.max("r"), F.avg("s"))
             .write.format("noop").mode("overwrite").save()
         )
+        import shutil
         import tempfile
 
         p = os.path.join(
             tempfile.gettempdir(), f"mhealth_spark_warm_{os.getpid()}"
         )
-        spark.range(0, 1000).selectExpr(
-            "id", "CAST(id AS STRING) AS s"
-        ).write.mode("overwrite").parquet(p)
-        spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+        try:
+            spark.range(0, 1000).selectExpr(
+                "id", "CAST(id AS STRING) AS s"
+            ).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+        finally:
+            shutil.rmtree(p, ignore_errors=True)
 
         # spawn + warm the Arrow Python workers (pandas/pyarrow imports,
         # worker reuse pool) so the first real mapInPandas stage doesn't

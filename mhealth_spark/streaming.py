@@ -1382,9 +1382,14 @@ def _assert_store_layout(path: str, layout: dict) -> None:
             stored = json.load(f)
         # compare only the keys the stored marker actually pinned: a
         # marker written before the schema grew (2 keys → 6 in r5) must
-        # not brick a parameter-compatible store — missing keys are
-        # backfilled below, and the hard error stays reserved for
-        # GENUINE mismatches on pinned keys (ADVICE r5).
+        # not brick a parameter-compatible store; the hard error stays
+        # reserved for GENUINE mismatches on pinned keys (ADVICE r5).
+        # Keys the legacy marker never pinned are deliberately NOT
+        # backfilled — stamping the probing run's unverified values
+        # would bless them as the store's identity (and a later run
+        # with the truly-matching parameters would then hard-error
+        # against the wrong pin). Rebuild/compact to upgrade a legacy
+        # store to a fully-pinned marker.
         mismatched = {
             k: (stored[k], layout[k])
             for k in stored
@@ -1396,9 +1401,6 @@ def _assert_store_layout(path: str, layout: dict) -> None:
                 f"requests {layout} — probing would silently miss every "
                 "duplicate. Rebuild/compact the store or match its layout."
             )
-        if set(layout) - set(stored):  # backfill newly-pinned keys
-            with open(marker, "w") as f:
-                json.dump({**layout, **stored}, f)
         return
     os.makedirs(path, exist_ok=True)
     with open(marker, "w") as f:
